@@ -1,0 +1,243 @@
+"""Multiresolution hash-grid encoder, TPU-native (pure JAX gathers).
+
+Semantics replicated from the reference CUDA extension
+(cvg/nicer-slam ``code/hashencoder/src/hashencoder.cu`` and
+``code/hashencoder/hashgrid.py``):
+
+  * level ℓ: ``scale = exp2(ℓ·log2(per_level_scale))·H − 1``,
+    ``resolution = ceil(scale)+1``           (hashencoder.cu:180-181)
+  * per-level table size ``min(2^logmap, resolution^D)`` with cumulative
+    offsets                                   (hashgrid.py:160-171)
+  * dense index ``x + y·res + z·res²  (mod size)`` while ``res^D ≤ size``,
+    else spatial hash ``xor(x·1, y·2654435761, z·805459861) mod size``
+                                              (hashencoder.cu:36-72)
+  * smoothstep interpolation weights ``w = f²(3−2f)`` — C¹ so that SDF
+    normals obtained by autodiff are continuous (hashencoder.cu:115-121)
+  * inputs live in [-size, size], mapped to [0,1]; out-of-range inputs
+    produce zero features and zero gradients  (hashencoder.cu:152-177)
+
+The reference needs ~1.5k lines of hand-written CUDA for forward, backward
+(atomic scatter-add), input-gradient, and second-order backward kernels; on
+TPU the entire stack is this gather/weight formulation — JAX autodiff
+composes grad∘grad automatically (the second-order path exercised by
+eikonal/normal losses), and XLA lowers the reverse pass to deterministic
+scatter-adds (no fp16-atomics nondeterminism).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# primes from hashencoder.cu:43 (dim 0 uses 1 for memory coherence)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridSpec(NamedTuple):
+    """Static description of a multires hash grid (all fields Python ints
+    /floats/tuples so the spec is hashable and jit-static)."""
+
+    input_dim: int
+    num_levels: int
+    level_dim: int
+    per_level_scale: float
+    base_resolution: int
+    log2_hashmap_size: int
+    # derived (filled by make_spec)
+    offsets: Tuple[int, ...]          # len num_levels+1, cumulative entries
+    resolutions: Tuple[int, ...]      # per level
+    scales: Tuple[float, ...]         # per level
+    dense: Tuple[bool, ...]           # per level: dense vs hashed indexing
+
+    @property
+    def total_entries(self) -> int:
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+
+def make_spec(
+    input_dim: int = 3,
+    num_levels: int = 16,
+    level_dim: int = 2,
+    per_level_scale: float = 2.0,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    desired_resolution: int | None = None,
+) -> HashGridSpec:
+    """Build a spec; ``desired_resolution`` overrides per_level_scale the same
+    way the reference does (hashgrid.py:145-146)."""
+    if desired_resolution is not None and num_levels > 1:
+        per_level_scale = float(
+            np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
+        )
+    max_params = 2 ** log2_hashmap_size
+    offsets = [0]
+    resolutions = []
+    scales = []
+    dense = []
+    S = math.log2(per_level_scale)
+    for lvl in range(num_levels):
+        # NOTE two resolutions appear in the reference: the allocator uses
+        # ceil(base * pls**lvl) (hashgrid.py:164) while the kernel uses
+        # ceil(exp2(lvl*S)*H - 1) + 1 (hashencoder.cu:180-181). These agree
+        # for integer pls; for fractional pls we follow the allocator for
+        # sizing and the kernel for addressing, exactly like the reference.
+        alloc_res = int(np.ceil(base_resolution * per_level_scale ** lvl))
+        scale = math.exp2(lvl * S) * base_resolution - 1.0
+        kern_res = int(math.ceil(scale)) + 1
+        params_in_level = min(max_params, alloc_res ** input_dim)
+        offsets.append(offsets[-1] + params_in_level)
+        resolutions.append(kern_res)
+        scales.append(scale)
+        # dense iff the kernel's stride loop never exceeds the table size:
+        # stride after including all D dims is kern_res**D
+        dense.append(kern_res ** input_dim <= params_in_level)
+    return HashGridSpec(
+        input_dim=input_dim,
+        num_levels=num_levels,
+        level_dim=level_dim,
+        per_level_scale=per_level_scale,
+        base_resolution=base_resolution,
+        log2_hashmap_size=log2_hashmap_size,
+        offsets=tuple(offsets),
+        resolutions=tuple(resolutions),
+        scales=tuple(scales),
+        dense=tuple(dense),
+    )
+
+
+def init_hash_params(rng: jax.Array, spec: HashGridSpec,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """U(-1e-4, 1e-4) init, as hashgrid.py:180-182."""
+    return jax.random.uniform(
+        rng, (spec.total_entries, spec.level_dim), dtype=dtype,
+        minval=-1e-4, maxval=1e-4,
+    )
+
+
+def _corner_offsets(d: int) -> np.ndarray:
+    """[2^d, d] binary corner offsets (corner idx bit layout as the CUDA
+    kernel: bit k of idx toggles dim k)."""
+    idx = np.arange(2 ** d)
+    return np.stack([(idx >> k) & 1 for k in range(d)], axis=-1).astype(np.int32)
+
+
+def _level_indices(spec: HashGridSpec, lvl: int, corner: jnp.ndarray) -> jnp.ndarray:
+    """Map integer grid coords [N, 2^D, D] -> table row ids [N, 2^D] for one
+    level (global rows: level offset added)."""
+    size = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    res = spec.resolutions[lvl]
+    c = corner.astype(jnp.uint32)
+    if spec.dense[lvl]:
+        # x + y*res + z*res^2 (stride order d=0 innermost), mod size
+        stride = jnp.uint32(1)
+        idx = jnp.zeros(corner.shape[:-1], dtype=jnp.uint32)
+        mult = 1
+        for d in range(spec.input_dim):
+            idx = idx + c[..., d] * jnp.uint32(mult)
+            mult *= res
+        idx = idx % jnp.uint32(size)
+    else:
+        idx = jnp.zeros(corner.shape[:-1], dtype=jnp.uint32)
+        for d in range(spec.input_dim):
+            idx = idx ^ (c[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        idx = idx % jnp.uint32(size)
+    return (idx + jnp.uint32(spec.offsets[lvl])).astype(jnp.int32)
+
+
+def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
+                size: float = 1.0) -> jnp.ndarray:
+    """Encode points ``x`` in [-size, size]^D -> [..., L*C] features.
+
+    Matches HashEncoder.forward (hashgrid.py:199-215) + kernel_grid
+    (hashencoder.cu:131-283): smoothstep-weighted 2^D-corner interpolation
+    per level, zero output for out-of-[0,1] inputs.
+    """
+    D = spec.input_dim
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, D)
+    u = (x + size) / (2.0 * size)
+
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1, keepdims=True)  # [N,1]
+    corners = jnp.asarray(_corner_offsets(D))  # [2^D, D]
+
+    outs = []
+    for lvl in range(spec.num_levels):
+        scale = spec.scales[lvl]
+        pos = u * scale
+        left = jnp.floor(pos)
+        f = pos - left
+        wb = f * f * (3.0 - 2.0 * f)          # smoothstep
+        wa = 1.0 - wb
+        left_i = left.astype(jnp.int32)
+
+        corner_xyz = left_i[:, None, :] + corners[None, :, :]      # [N,8,D]
+        rows = _level_indices(spec, lvl, corner_xyz)               # [N,8]
+        vals = embeddings[rows]                                    # [N,8,C]
+        # weight per corner = prod over dims of (wb if bit else wa)
+        w = jnp.ones(corner_xyz.shape[:-1], dtype=u.dtype)
+        for d in range(D):
+            bit = corners[None, :, d]
+            w = w * jnp.where(bit == 1, wb[:, None, d], wa[:, None, d])
+        out = (w[..., None] * vals).sum(axis=1)                    # [N,C]
+        outs.append(out)
+
+    feats = jnp.concatenate(outs, axis=-1)
+    feats = jnp.where(oob, 0.0, feats)
+    return feats.reshape(*prefix, spec.output_dim)
+
+
+# ---------------------------------------------------------------------------
+# Dense reference implementation (torch_forward analogue, hashgrid.py:217-299)
+# — used only by tests to validate hash_encode on dense (non-hashed) levels.
+# ---------------------------------------------------------------------------
+
+def hash_encode_dense_ref(spec: HashGridSpec, embeddings: np.ndarray,
+                          x: np.ndarray, size: float = 1.0) -> np.ndarray:
+    D = spec.input_dim
+    assert D == 3
+    x = np.asarray(x, dtype=np.float64).reshape(-1, 3)
+    emb = np.asarray(embeddings, dtype=np.float64)
+    u = (x + size) / (2.0 * size)
+    outs = []
+    for lvl in range(spec.num_levels):
+        scale = spec.scales[lvl]
+        res = spec.resolutions[lvl]
+        assert spec.dense[lvl], "dense reference only valid for dense levels"
+        pos = u * scale
+        left = np.floor(pos).astype(np.int64)
+        f = pos - left
+        wb = f * f * (3.0 - 2.0 * f)
+        wa = 1.0 - wb
+        # volume[x,y,z] = emb[x + y*res + z*res^2]  (torch_forward permutes
+        # the (z,y,x)-major reshape, hashgrid.py:250)
+        table = emb[spec.offsets[lvl]:spec.offsets[lvl + 1]]
+        vol = table.reshape(res, res, res, -1).transpose(2, 1, 0, 3)
+        lx, ly, lz = left[:, 0], left[:, 1], left[:, 2]
+        lx1, ly1, lz1 = np.minimum(lx + 1, res - 1), np.minimum(ly + 1, res - 1), np.minimum(lz + 1, res - 1)
+        # (clipping only guards the exact-1.0 boundary; interior untouched)
+        v000 = vol[lx, ly, lz]
+        v001 = vol[lx, ly, lz1]
+        v010 = vol[lx, ly1, lz]
+        v011 = vol[lx, ly1, lz1]
+        v100 = vol[lx1, ly, lz]
+        v101 = vol[lx1, ly, lz1]
+        v110 = vol[lx1, ly1, lz]
+        v111 = vol[lx1, ly1, lz1]
+        c00 = v000 * wa[:, 2:] + v001 * wb[:, 2:]
+        c01 = v010 * wa[:, 2:] + v011 * wb[:, 2:]
+        c10 = v100 * wa[:, 2:] + v101 * wb[:, 2:]
+        c11 = v110 * wa[:, 2:] + v111 * wb[:, 2:]
+        c0 = c00 * wa[:, 1:2] + c01 * wb[:, 1:2]
+        c1 = c10 * wa[:, 1:2] + c11 * wb[:, 1:2]
+        outs.append(c0 * wa[:, :1] + c1 * wb[:, :1])
+    out = np.concatenate(outs, axis=-1)
+    oob = np.any((u < 0) | (u > 1), axis=-1, keepdims=True)
+    return np.where(oob, 0.0, out)

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nicer_slam_tpu.ops import hash_encoder as he
+
+
+def small_dense_spec():
+    # all levels dense: base 8 -> 16, logmap 19 easily covers 16^3
+    return he.make_spec(input_dim=3, num_levels=3, level_dim=2,
+                        base_resolution=8, desired_resolution=16,
+                        log2_hashmap_size=19)
+
+
+def hashed_spec():
+    # replica fine grid: 8 levels 32->128, logmap 19 => upper levels hashed
+    return he.make_spec(input_dim=3, num_levels=8, level_dim=4,
+                        base_resolution=32, desired_resolution=128,
+                        log2_hashmap_size=19)
+
+
+def test_spec_offsets_match_reference_formula():
+    spec = hashed_spec()
+    # reproduce hashgrid.py:160-171 independently
+    pls = np.exp2(np.log2(128 / 32) / (8 - 1))
+    offset = 0
+    for i in range(8):
+        res = int(np.ceil(32 * pls ** i))
+        expect = min(2 ** 19, res ** 3)
+        assert spec.offsets[i + 1] - spec.offsets[i] == expect
+        offset += expect
+    assert spec.total_entries == offset
+
+
+def test_dense_matches_reference_impl(rng):
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-0.999,
+                           maxval=0.999)
+    got = np.asarray(he.hash_encode(spec, emb, x))
+    want = he.hash_encode_dense_ref(spec, np.asarray(emb), np.asarray(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_out_of_bounds_zero(rng):
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jnp.array([[1.5, 0.0, 0.0], [0.0, -1.2, 0.3], [0.2, 0.2, 0.2]])
+    out = he.hash_encode(spec, emb, x)
+    assert np.all(np.asarray(out[:2]) == 0.0)
+    assert np.any(np.asarray(out[2]) != 0.0)
+    # gradient wrt inputs must be zero for oob points too
+    g = jax.grad(lambda xx: he.hash_encode(spec, emb, xx).sum())(x)
+    assert np.all(np.asarray(g[:2]) == 0.0)
+
+
+def test_gradients_vs_finite_difference(rng):
+    spec = hashed_spec()
+    emb = he.init_hash_params(rng, spec) * 1e3  # scale up for fd resolution
+    x0 = jnp.array([[0.123, -0.456, 0.321], [0.77, 0.11, -0.65]])
+
+    def f(xx):
+        return he.hash_encode(spec, emb, xx).sum()
+
+    g = np.asarray(jax.grad(f)(x0))
+    eps = 1e-4
+    for i in range(x0.shape[0]):
+        for d in range(3):
+            xp = x0.at[i, d].add(eps)
+            xm = x0.at[i, d].add(-eps)
+            fd = (f(xp) - f(xm)) / (2 * eps)
+            np.testing.assert_allclose(g[i, d], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_second_order_grad_exists_and_matches_fd(rng):
+    """grad-of-grad (the eikonal-through-normals path) must be finite and
+    correct: d/demb of |grad_x f|^2."""
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec) * 1e3
+    x0 = jnp.array([[0.2, 0.3, -0.1]])
+
+    def norm_of_grad(e):
+        g = jax.grad(lambda xx: he.hash_encode(spec, e, xx).sum())(x0)
+        return (g ** 2).sum()
+
+    ge = jax.grad(norm_of_grad)(emb)
+    assert np.isfinite(np.asarray(ge)).all()
+    assert np.abs(np.asarray(ge)).max() > 0
+
+    # finite-difference check on one touched entry
+    touched = np.argwhere(np.abs(np.asarray(ge)) > 0)
+    i, j = touched[0]
+    eps = 1e-3
+    ep = emb.at[i, j].add(eps)
+    em = emb.at[i, j].add(-eps)
+    fd = (norm_of_grad(ep) - norm_of_grad(em)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(ge)[i, j], fd, rtol=5e-2, atol=1e-5)
+
+
+def test_smoothstep_continuity_of_gradient(rng):
+    """C1: input-gradients should be continuous across a cell boundary."""
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec)
+
+    def g(xx):
+        return jax.grad(lambda p: he.hash_encode(spec, emb, p).sum())(xx)
+
+    # boundary of the coarsest level at scale=7: u = k/7 -> x = 2u-1
+    ub = 3.0 / 7.0
+    xb = 2 * ub - 1
+    eps = 1e-5
+    g_lo = np.asarray(g(jnp.array([[xb - eps, 0.1, 0.1]])))
+    g_hi = np.asarray(g(jnp.array([[xb + eps, 0.1, 0.1]])))
+    np.testing.assert_allclose(g_lo, g_hi, atol=1e-3)
+
+
+def test_jit_and_shapes(rng):
+    spec = hashed_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jax.random.uniform(rng, (4, 5, 3), minval=-1, maxval=1)
+    out = jax.jit(lambda e, xx: he.hash_encode(spec, e, xx))(emb, x)
+    assert out.shape == (4, 5, spec.output_dim)
+    assert spec.output_dim == 32
