@@ -116,10 +116,16 @@ def implicit_config_from_conf(conf: Config, feature_vector_size: int,
     )
 
 
-def init_implicit_net(rng: jax.Array, cfg: ImplicitNetConfig) -> Dict[str, Any]:
+def _as_np_rng(rng) -> np.random.Generator:
+    if isinstance(rng, np.random.Generator):
+        return rng
+    return np.random.default_rng(int(np.asarray(rng).ravel()[-1]))
+
+
+def init_implicit_net(rng, cfg: ImplicitNetConfig) -> Dict[str, Any]:
+    rng = _as_np_rng(rng)
     spec = cfg.hash_spec()
-    keys = jax.random.split(rng, len(cfg.layer_dims) + 1)
-    params: Dict[str, Any] = {"encoding": he.init_hash_params(keys[0], spec)}
+    params: Dict[str, Any] = {"encoding": he.init_hash_params(rng, spec)}
     dims = cfg.layer_dims
     num_layers = len(dims)
     lins = []
@@ -127,14 +133,14 @@ def init_implicit_net(rng: jax.Array, cfg: ImplicitNetConfig) -> Dict[str, Any]:
         out_dim = dims[l + 1] - (dims[0] if (l + 1) in cfg.skip_in else 0)
         if cfg.geometric_init:
             lp = init_linear_geometric(
-                keys[l + 1], dims[l], out_dim, l, num_layers,
+                rng, dims[l], out_dim, l, num_layers,
                 multires=cfg.multires, skip_layer=(l in cfg.skip_in),
                 dims0=dims[0], bias=cfg.bias,
                 inside_outside=cfg.inside_outside,
                 weight_norm=cfg.weight_norm,
             )
         else:
-            lp = init_linear_default(keys[l + 1], dims[l], out_dim,
+            lp = init_linear_default(rng, dims[l], out_dim,
                                      weight_norm=cfg.weight_norm)
         lins.append(lp)
     params["lins"] = lins
@@ -190,10 +196,10 @@ def combine_config_from_conf(conf: Config, feature_vector_size: int) -> CombineC
     )
 
 
-def init_combine(rng: jax.Array, cfg: CombineConfig) -> Dict[str, Any]:
-    kc, kf = jax.random.split(rng)
-    return {"coarse": init_implicit_net(kc, cfg.coarse),
-            "fine": init_implicit_net(kf, cfg.fine)}
+def init_combine(rng, cfg: CombineConfig) -> Dict[str, Any]:
+    rng = _as_np_rng(rng)
+    return {"coarse": init_implicit_net(rng, cfg.coarse),
+            "fine": init_implicit_net(rng, cfg.fine)}
 
 
 def combine_forward(cfg: CombineConfig, params: Dict[str, Any], x: jnp.ndarray,
@@ -291,28 +297,27 @@ def rendering_config_from_conf(conf: Config, feature_vector_size: int,
     )
 
 
-def init_rendering_net(rng: jax.Array, cfg: RenderingNetConfig) -> Dict[str, Any]:
+def init_rendering_net(rng, cfg: RenderingNetConfig) -> Dict[str, Any]:
+    rng = _as_np_rng(rng)
     dims = cfg.layer_dims
-    keys = jax.random.split(rng, len(dims) + 2)
     params: Dict[str, Any] = {}
     if cfg.use_grid_feature:
-        params["encoding"] = he.init_hash_params(keys[0], cfg.hash_spec())
+        params["encoding"] = he.init_hash_params(rng, cfg.hash_spec())
     lins = []
     for l in range(len(dims) - 1):
-        lins.append(init_linear_default(keys[l + 1], dims[l], dims[l + 1],
+        lins.append(init_linear_default(rng, dims[l], dims[l + 1],
                                         weight_norm=cfg.weight_norm))
     params["lins"] = lins
     if cfg.per_image_code:
-        params["embeddings"] = jax.random.uniform(
-            keys[-1], (cfg.n_images, 32), minval=-1e-4, maxval=1e-4)
+        params["embeddings"] = jnp.asarray(
+            rng.uniform(-1e-4, 1e-4, (cfg.n_images, 32)).astype(np.float32))
     if cfg.model_exposure:
-        ek = jax.random.split(keys[-1], 4)
-        params["embeddings"] = jax.random.uniform(
-            ek[0], (cfg.n_images, 4), minval=-1e-4, maxval=1e-4)
+        params["embeddings"] = jnp.asarray(
+            rng.uniform(-1e-4, 1e-4, (cfg.n_images, 4)).astype(np.float32))
         params["exp_lins"] = [
-            init_linear_default(ek[1], 4, 64, weight_norm=False),
-            init_linear_default(ek[2], 64, 64, weight_norm=False),
-            init_linear_default(ek[3], 64, 6, weight_norm=False),
+            init_linear_default(rng, 4, 64, weight_norm=False),
+            init_linear_default(rng, 64, 64, weight_norm=False),
+            init_linear_default(rng, 64, 6, weight_norm=False),
         ]
     return params
 

@@ -37,18 +37,20 @@ def _wrap_weight_norm(w: np.ndarray, b: np.ndarray, weight_norm: bool):
     return {"v": jnp.asarray(w), "b": jnp.asarray(b)}
 
 
-def init_linear_default(rng: jax.Array, d_in: int, d_out: int,
+def init_linear_default(rng: "np.random.Generator", d_in: int, d_out: int,
                         weight_norm: bool = True) -> Dict[str, jnp.ndarray]:
-    """Torch nn.Linear default: kaiming-uniform U(-k,k), k=1/sqrt(d_in)."""
-    k1, k2 = jax.random.split(rng)
+    """Torch nn.Linear default: kaiming-uniform U(-k,k), k=1/sqrt(d_in).
+
+    Initialization uses host numpy RNG (jax.random would compile a fresh
+    threefry program per shape — seconds each on first touch)."""
     bound = 1.0 / np.sqrt(d_in)
-    w = np.asarray(jax.random.uniform(k1, (d_out, d_in), minval=-bound, maxval=bound))
-    b = np.asarray(jax.random.uniform(k2, (d_out,), minval=-bound, maxval=bound))
+    w = rng.uniform(-bound, bound, (d_out, d_in)).astype(np.float32)
+    b = rng.uniform(-bound, bound, (d_out,)).astype(np.float32)
     return _wrap_weight_norm(w, b, weight_norm)
 
 
 def init_linear_geometric(
-    rng: jax.Array,
+    rng: "np.random.Generator",
     d_in: int,
     d_out: int,
     layer: int,
@@ -66,7 +68,6 @@ def init_linear_geometric(
     layer indexes 0..num_layers-2 (the reference's ``l``); dims0 is the input
     width of the whole MLP (for the skip-zeroing rule).
     """
-    k1, k2 = jax.random.split(rng)
     if layer == num_layers - 2:
         mean = np.sqrt(np.pi) / np.sqrt(d_in)
         if inside_outside:
@@ -74,21 +75,21 @@ def init_linear_geometric(
             b_val = bias
         else:
             b_val = -bias
-        w = np.asarray(mean + 1e-4 * jax.random.normal(k1, (d_out, d_in)))
+        w = mean + 1e-4 * rng.standard_normal((d_out, d_in))
         b = np.full((d_out,), b_val, dtype=np.float32)
     elif multires > 0 and layer == 0:
         w = np.zeros((d_out, d_in), dtype=np.float32)
         std = np.sqrt(2.0) / np.sqrt(d_out)
-        w[:, :3] = np.asarray(std * jax.random.normal(k1, (d_out, 3)))
+        w[:, :3] = std * rng.standard_normal((d_out, 3))
         b = np.zeros((d_out,), dtype=np.float32)
     elif multires > 0 and skip_layer:
         std = np.sqrt(2.0) / np.sqrt(d_out)
-        w = np.asarray(std * jax.random.normal(k1, (d_out, d_in)))
+        w = std * rng.standard_normal((d_out, d_in))
         w[:, -(dims0 - 3):] = 0.0
         b = np.zeros((d_out,), dtype=np.float32)
     else:
         std = np.sqrt(2.0) / np.sqrt(d_out)
-        w = np.asarray(std * jax.random.normal(k1, (d_out, d_in)))
+        w = std * rng.standard_normal((d_out, d_in))
         b = np.zeros((d_out,), dtype=np.float32)
     return _wrap_weight_norm(w.astype(np.float32), b.astype(np.float32), weight_norm)
 

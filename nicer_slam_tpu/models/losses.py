@@ -1,0 +1,274 @@
+"""The SLAM loss stack (reference: code/model/loss.py + code/utils/MiDaS.py).
+
+Nine weighted terms: RGB L1, scale/shift-invariant monocular depth (MiDaS),
+normal L1+cos, eikonal, smoothness, optical flow, warp (photometric
+reprojection), and GT-depth (used at frame 0 to pin metric scale when
+``assign_scale_shift_init`` is on, loss.py:179-184).
+
+Adapted to the flat-ray layout: the reference's per-keyframe image dimension
+becomes per-ray keyframe-slot ids with segment reductions; the MiDaS
+gradient regularizer's "neighboring pixel" pairs (which in the reference are
+consecutive *randomly sampled* pixels of one keyframe, MiDaS.py:61-78)
+become consecutive rays within the same slot — identical distribution.
+
+Quirk preserved deliberately: the reference's normal cosine loss averages
+over ALL rays with masked rays contributing the constant 1.0
+(loss.py:93-98, masked entries are zero vectors) — we reproduce this so loss
+magnitudes are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .scene_model import RayBatch, FlowEdges
+
+
+class LossConfig(NamedTuple):
+    rgb_loss_weight: float = 1.0
+    eikonal_weight: float = 0.0
+    smooth_weight: float = 0.0
+    depth_weight: float = 0.0
+    normal_l1_weight: float = 0.0
+    normal_cos_weight: float = 0.0
+    gt_depth_weight: float = 0.0
+    flow_weight: float = 0.0
+    warp_loss_weight: float = 0.0
+    warp_loss_type: str = "l1"
+    assign_scale_shift_init: bool = False
+    assign_scale: float = 20.0
+    # dataset special case: Replica scan 4 uses a full depth mask
+    # (loss.py:170-173)
+    full_depth_mask: bool = False
+
+
+def loss_config_from_conf(conf: Config, full_depth_mask: bool = False) -> LossConfig:
+    return LossConfig(
+        rgb_loss_weight=conf.get_float("rgb_loss_weight", 1.0),
+        eikonal_weight=conf.get_float("eikonal_weight", 0.0),
+        smooth_weight=conf.get_float("smooth_weight", 0.005)
+        if "smooth_weight" in conf else 0.0,
+        depth_weight=conf.get_float("depth_weight", 0.0),
+        normal_l1_weight=conf.get_float("normal_l1_weight", 0.0),
+        normal_cos_weight=conf.get_float("normal_cos_weight", 0.0),
+        gt_depth_weight=conf.get_float("gt_depth_weight", 0.0),
+        flow_weight=conf.get_float("flow_weight", 0.0),
+        warp_loss_weight=conf.get_float("warp_loss_weight", 0.0),
+        warp_loss_type=conf.get_string("warp_loss_type", "l1"),
+        assign_scale_shift_init=conf.get_bool("assign_scale_shift_init", False),
+        assign_scale=conf.get_float("assign_scale", 20.0),
+        full_depth_mask=full_depth_mask,
+    )
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return (x * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# MiDaS scale/shift-invariant depth loss (utils/MiDaS.py)
+# ---------------------------------------------------------------------------
+
+def compute_scale_and_shift_segments(pred, target, mask, seg_ids, num_segments):
+    """Closed-form per-segment least squares (MiDaS.py:6-26) via segment sums.
+
+    pred/target/mask: [R]; seg_ids: [R] int. Returns (scale[Ns], shift[Ns]).
+    """
+    seg = lambda v: jax.ops.segment_sum(v, seg_ids, num_segments=num_segments)
+    a00 = seg(mask * pred * pred)
+    a01 = seg(mask * pred)
+    a11 = seg(mask)
+    b0 = seg(mask * pred * target)
+    b1 = seg(mask * target)
+    det = a00 * a11 - a01 * a01
+    valid = det != 0
+    safe_det = jnp.where(valid, det, 1.0)
+    x0 = jnp.where(valid, (a11 * b0 - a01 * b1) / safe_det, 0.0)
+    x1 = jnp.where(valid, (-a01 * b0 + a00 * b1) / safe_det, 0.0)
+    return x0, x1
+
+
+def ssi_depth_loss(pred, target, mask, seg_ids, num_segments, alpha: float = 0.5):
+    """ScaleAndShiftInvariantLoss(alpha=0.5, scales=1) on the flat layout
+    (MiDaS.py:121-140, loss.py:49).
+
+    pred/target/mask: [R] flat rays; segments = keyframe slots.
+    """
+    scale, shift = compute_scale_and_shift_segments(pred, target, mask,
+                                                    seg_ids, num_segments)
+    scale = jax.lax.stop_gradient(scale)
+    shift = jax.lax.stop_gradient(shift)
+    pred_ssi = scale[seg_ids] * pred + shift[seg_ids]
+
+    # data term: sum(mask*res^2) / (2*sum(mask)) (MiDaS.py:52-58)
+    res = pred_ssi - target
+    msum = mask.sum()
+    data = jnp.where(msum > 0, (mask * res * res).sum() / (2.0 * msum), 0.0)
+
+    # gradient term, one scale: pairs of consecutive rays in the same slot
+    diff = mask * (pred_ssi - target)
+    pair = (seg_ids[1:] == seg_ids[:-1]).astype(pred.dtype)
+    grad = jnp.abs(diff[1:] - diff[:-1]) * mask[1:] * mask[:-1] * pair
+    reg = jnp.where(msum > 0, grad.sum() / msum, 0.0)
+    return data + alpha * reg
+
+
+# ---------------------------------------------------------------------------
+# Individual terms
+# ---------------------------------------------------------------------------
+
+def rgb_l1(pred, gt, ray_valid):
+    return _masked_mean(jnp.abs(pred - gt), ray_valid[:, None])
+
+
+def eikonal_loss(grad_theta):
+    return ((jnp.linalg.norm(grad_theta, axis=1) - 1.0) ** 2).mean()
+
+
+def smooth_loss(g1, g2):
+    n1 = g1 / (jnp.linalg.norm(g1, axis=1, keepdims=True) + 1e-5)
+    n2 = g2 / (jnp.linalg.norm(g2, axis=1, keepdims=True) + 1e-5)
+    return jnp.linalg.norm(n1 - n2, axis=-1).mean()
+
+
+def normal_losses(normal_pred, normal_gt, mask):
+    """loss.py:93-98 with the pre-masking convention of loss.py:193."""
+    ng = normal_gt / (jnp.linalg.norm(normal_gt, axis=-1, keepdims=True) + 1e-12)
+    np_ = normal_pred / (jnp.linalg.norm(normal_pred, axis=-1, keepdims=True) + 1e-12)
+    m = mask.astype(normal_pred.dtype)
+    ng = ng * m
+    np_ = np_ * m
+    l1 = jnp.abs(np_ - ng).sum(axis=-1).mean()
+    cos = (1.0 - (np_ * ng).sum(axis=-1)).mean()
+    return l1, cos
+
+
+def gt_depth_l1(depth_pred, depth_gt, mask):
+    return _masked_mean(jnp.abs(depth_pred - depth_gt), mask)
+
+
+def flow_l1(flow_pred, flow_gt, mask):
+    """[E,R,2] masked mean (loss.py:100-111)."""
+    return _masked_mean(jnp.abs(flow_pred - flow_gt), mask[..., None])
+
+
+def warp_l1(sampled_rgb, gt_rgb, mask):
+    """[S,R,3] sampled vs per-ray gt (broadcast over targets), masked mean
+    (loss.py:136-155, patchsize 1 / l1 path)."""
+    diff = jnp.abs(sampled_rgb - gt_rgb[None, :, :])
+    return _masked_mean(diff, mask[..., None])
+
+
+# ---------------------------------------------------------------------------
+# Full stack (loss.py:113-233)
+# ---------------------------------------------------------------------------
+
+def compute_losses(
+    cfg: LossConfig,
+    outputs: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    batch: RayBatch,
+    *,
+    stage: str = "fine",
+    is_first_frame: bool = False,
+    num_slots: int = 1,
+    flow_gt: Optional[jnp.ndarray] = None,     # [E,R,2]
+    flow_mask: Optional[jnp.ndarray] = None,   # [E,R] bool
+    edges: Optional[FlowEdges] = None,
+) -> Dict[str, jnp.ndarray]:
+    rgb_pred = outputs["rgb_values"]
+    depth_pred = outputs["depth_values"][:, 0]
+    normal_pred = outputs["normal_map"]
+    ray_valid = batch.ray_valid
+
+    terms: Dict[str, jnp.ndarray] = {}
+    terms["rgb_loss"] = rgb_l1(rgb_pred, gt["rgb"], ray_valid)
+
+    # foreground mask: SDF sign change along the ray & dataset mask
+    sdf = outputs["sdf"]
+    sign_change = jnp.any(sdf > 0.0, axis=-1) & jnp.any(sdf < 0.0, axis=-1)
+    mask = sign_change & (gt["mask"][:, 0] > 0.5) & ray_valid
+
+    # warp
+    if (cfg.warp_loss_weight > 0 and stage == "fine" and not is_first_frame
+            and "warp_sampled_rgb" in outputs):
+        terms["warp_loss"] = warp_l1(outputs["warp_sampled_rgb"], gt["rgb"],
+                                     outputs["warp_mask"])
+    else:
+        terms["warp_loss"] = jnp.asarray(0.0)
+
+    # eikonal + smooth
+    if cfg.eikonal_weight > 0 and "grad_theta" in outputs:
+        terms["eikonal_loss"] = eikonal_loss(outputs["grad_theta"])
+    else:
+        terms["eikonal_loss"] = jnp.asarray(0.0)
+    if cfg.smooth_weight > 0 and "grad_theta" in outputs:
+        terms["smooth_loss"] = smooth_loss(outputs["grad_theta"],
+                                           outputs["grad_theta_nei"])
+    else:
+        terms["smooth_loss"] = jnp.asarray(0.0)
+
+    # monocular (scale/shift-invariant) depth
+    if cfg.depth_weight > 0:
+        depth_mask = (jnp.ones_like(mask) & ray_valid) if cfg.full_depth_mask else mask
+        terms["depth_loss"] = ssi_depth_loss(
+            depth_pred, gt["depth"][:, 0] * 50.0 + 0.5,
+            depth_mask.astype(depth_pred.dtype), batch.kf_slot, num_slots)
+    else:
+        terms["depth_loss"] = jnp.asarray(0.0)
+
+    # gt depth (metric anchor); at frame 0 assign_scale_shift_init rebinds it
+    gt_depth_weight = cfg.gt_depth_weight
+    depth_real_gt = gt["gt_depth"][:, 0]
+    if cfg.assign_scale_shift_init:
+        if is_first_frame:
+            depth_real_gt = gt["depth"][:, 0] * cfg.assign_scale
+            gt_depth_weight = 10.0
+        else:
+            gt_depth_weight = 0.0
+    if gt_depth_weight > 0:
+        gt_depth_mask = (gt["gt_depth"][:, 0] > 0) & ray_valid
+        terms["gt_depth_loss"] = gt_depth_l1(depth_pred, depth_real_gt,
+                                             gt_depth_mask)
+    else:
+        terms["gt_depth_loss"] = jnp.asarray(0.0)
+
+    # normals
+    if cfg.normal_l1_weight > 0 or cfg.normal_cos_weight > 0:
+        l1, cos = normal_losses(normal_pred, gt["normal"], mask[:, None])
+        terms["normal_l1"] = l1
+        terms["normal_cos"] = cos
+    else:
+        terms["normal_l1"] = jnp.asarray(0.0)
+        terms["normal_cos"] = jnp.asarray(0.0)
+
+    # flow
+    if cfg.flow_weight > 0 and "flow" in outputs and flow_gt is not None:
+        e_mask = (
+            (batch.kf_slot[None, :] == edges.idii[:, None])
+            & edges.valid[:, None]
+            & flow_mask
+            & ray_valid[None, :]
+        )
+        terms["flow_loss"] = flow_l1(outputs["flow"], flow_gt, e_mask)
+    else:
+        terms["flow_loss"] = jnp.asarray(0.0)
+
+    total = (
+        cfg.flow_weight * terms["flow_loss"]
+        + cfg.depth_weight * terms["depth_loss"]
+        + cfg.rgb_loss_weight * terms["rgb_loss"]
+        + cfg.smooth_weight * terms["smooth_loss"]
+        + cfg.normal_l1_weight * terms["normal_l1"]
+        + cfg.warp_loss_weight * terms["warp_loss"]
+        + cfg.eikonal_weight * terms["eikonal_loss"]
+        + cfg.normal_cos_weight * terms["normal_cos"]
+        + gt_depth_weight * terms["gt_depth_loss"]
+    )
+    terms["loss"] = total
+    return terms

@@ -1,0 +1,317 @@
+"""Scene model: the full per-ray-batch forward pass (render + priors).
+
+Behavioral reference: cvg/nicer-slam ``code/model/network.py`` (SLAMNetwork):
+ray generation, hierarchical sampling, field evaluation, SDF volume
+rendering, depth/normal maps, flow prediction over a keyframe edge graph,
+warp (photometric reprojection) machinery, eikonal sample points, and the
+voxel visit counter feeding the adaptive density.
+
+TPU-first layout: instead of the reference's ``[n_keyframes, pix_per_kf]``
+batch whose shapes change with the keyframe window, rays live in ONE flat,
+fixed-size array ``[R]`` with a per-ray keyframe-slot id. Slot-count changes
+(window growth at mid-mapping, frame-0 single-keyframe batches) therefore
+never change compiled shapes — the jitted step functions compile once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops import density as density_ops
+from ..ops.ray_sampling import SamplerConfig, importance_z_vals
+from ..ops.volume_rendering import render_weights
+from ..utils.camera import rays_from_uv
+from . import fields
+
+
+class SceneConfig(NamedTuple):
+    combine: fields.CombineConfig
+    render: fields.RenderingNetConfig
+    sampler: SamplerConfig
+    density_method: str = "volsdf_gridpredefined"
+    scene_bounding_sphere: float = 1.0
+    voxel_res: int = 64
+    white_bkgd: bool = False
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    use_warp_loss: bool = True
+    H: int = 680
+    W: int = 1200
+    patchsize: int = 1
+
+
+def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneConfig:
+    feature_vector_size = model_conf.get_int("feature_vector_size")
+    combine = fields.combine_config_from_conf(
+        model_conf.get_config("implicit_network"), feature_vector_size)
+    render = fields.rendering_config_from_conf(
+        model_conf.get_config("rendering_network"), feature_vector_size,
+        n_images=n_images,
+        embedding_method=model_conf.get_string("embedding_method", "nerf"))
+    rs = model_conf.get_config("ray_sampler")
+    sampler = SamplerConfig(
+        scene_bounding_sphere=model_conf.get_float("scene_bounding_sphere", 1.0),
+        near=rs.get_float("near", 0.0),
+        N_samples=rs.get_int("N_samples", 64),
+        N_samples_eval=rs.get_int("N_samples_eval", 640),
+        N_samples_extra=rs.get_int("N_samples_extra", 32),
+    )
+    patchsizes = model_conf.get_list("mapping_patchsizes", [1])
+    return SceneConfig(
+        combine=combine,
+        render=render,
+        sampler=sampler,
+        density_method=model_conf.get_string("density_method", "volsdf_gridpredefined"),
+        scene_bounding_sphere=model_conf.get_float("scene_bounding_sphere", 1.0),
+        voxel_res=model_conf.get_int("voxel_res", 64),
+        white_bkgd=model_conf.get_bool("white_bkgd", False),
+        use_warp_loss=model_conf.get_bool("use_warp_loss", False),
+        H=int(img_res[0]),
+        W=int(img_res[1]),
+        patchsize=int(patchsizes[0]),
+    )
+
+
+def init_scene_params(rng, cfg: SceneConfig) -> Dict[str, Any]:
+    rng = fields._as_np_rng(rng)
+    params = {
+        "implicit": fields.init_combine(rng, cfg.combine),
+        "render": fields.init_rendering_net(rng, cfg.render),
+    }
+    if cfg.density_method == "volsdf_laplace":
+        params["density"] = {"beta": jnp.asarray(0.1)}
+    return params
+
+
+def init_voxels(cfg: SceneConfig) -> jnp.ndarray:
+    return jnp.zeros((cfg.voxel_res,) * 3, dtype=jnp.float32)
+
+
+class RayBatch(NamedTuple):
+    """One flat batch of rays spanning up to W keyframe slots."""
+
+    uv: jnp.ndarray          # [R,2] pixel coords (x,y)
+    kf_slot: jnp.ndarray     # [R] int32 slot index into poses/intrinsics
+    poses: jnp.ndarray       # [S,4,4] c2w (differentiable for tracking/BA)
+    intrinsics: jnp.ndarray  # [S,4,4]
+    frame_ids: jnp.ndarray   # [S] int32 global frame index per slot
+    slot_valid: jnp.ndarray  # [S] bool
+    ray_valid: jnp.ndarray   # [R] bool
+
+
+class FlowEdges(NamedTuple):
+    """Padded flow-graph edges (volsdf_train.py:312-324)."""
+
+    idii: jnp.ndarray   # [E] int32 reference slot
+    idjj: jnp.ndarray   # [E] int32 target slot
+    valid: jnp.ndarray  # [E] bool
+
+
+def _density(cfg: SceneConfig, params, voxels, sdf_flat, pts_flat):
+    if cfg.density_method == "volsdf_laplace":
+        beta = density_ops.learned_beta(params["density"]["beta"])
+        return density_ops.laplace_density(sdf_flat, beta)
+    beta = density_ops.grid_predefined_beta(voxels, pts_flat, cfg.voxel_res)
+    return density_ops.laplace_density(sdf_flat[:, None], beta)[:, 0]
+
+
+def render_rays(
+    cfg: SceneConfig,
+    params: Dict[str, Any],
+    voxels: jnp.ndarray,
+    batch: RayBatch,
+    rng: jax.Array,
+    *,
+    stage: str = "fine",
+    color_stage: str = "highfreq",
+    training: bool = True,
+    is_mapping: bool = False,
+    edges: Optional[FlowEdges] = None,
+    full_rgb: Optional[jnp.ndarray] = None,   # [S, H*W, 3] float in [0,1]
+) -> Dict[str, jnp.ndarray]:
+    """Forward pass over a flat ray batch (network.py:78-347 equivalent).
+
+    Returns an output dict; when is_mapping, also returns the updated voxel
+    counter under key "voxels" and eikonal gradients.
+    """
+    R = batch.uv.shape[0]
+    k_sample, k_eik_uni, k_eik_nei = jax.random.split(rng, 3)
+
+    K = batch.intrinsics[batch.kf_slot]      # [R,4,4]
+    c2w = batch.poses[batch.kf_slot]         # [R,4,4]
+    ray_dirs, cam_loc, depth_scale = rays_from_uv(batch.uv, c2w, K)
+
+    # hierarchical sampling: no-grad prepass always uses the fine stage
+    # (ray_sampler.py:102 calls get_sdf_vals with the default stage)
+    def sdf_prepass(pts):
+        return fields.combine_sdf(cfg.combine, params["implicit"], pts, "fine")[:, 0]
+
+    def density_prepass(sdf, pts):
+        return _density(cfg, params, voxels, sdf, pts)
+
+    z_vals, z_eik = importance_z_vals(
+        cfg.sampler, cam_loc, ray_dirs, sdf_prepass, density_prepass,
+        k_sample, training=training)
+    S = z_vals.shape[1]
+
+    points = cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
+    points_flat = points.reshape(-1, 3)
+
+    new_voxels = voxels
+    if is_mapping:
+        new_voxels = density_ops.update_voxels(voxels, points_flat, cfg.voxel_res)
+
+    dirs_flat = jnp.broadcast_to(ray_dirs[:, None, :], points.shape).reshape(-1, 3)
+
+    sdf, feature_vectors, gradients = fields.combine_get_outputs(
+        cfg.combine, params["implicit"], points_flat, stage)
+
+    point_frame_ids = batch.frame_ids[batch.kf_slot]
+    point_frame_ids = jnp.broadcast_to(
+        point_frame_ids[:, None], (R, S)).reshape(-1)
+
+    rgb_flat = fields.rendering_forward(
+        cfg.render, params["render"], points_flat, gradients, dirs_flat,
+        feature_vectors, image_indices=point_frame_ids, color_stage=color_stage)
+    if cfg.render.model_exposure:
+        rgb_flat, rgb_un_flat = rgb_flat
+        rgb_un = rgb_un_flat.reshape(R, S, 3)
+    rgb = rgb_flat.reshape(R, S, 3)
+
+    density_flat = _density(cfg, params, new_voxels, sdf[:, 0], points_flat)
+    weights = render_weights(z_vals, density_flat.reshape(R, S))
+
+    rgb_values = (weights[..., None] * rgb).sum(axis=1)                 # [R,3]
+    wsum = weights.sum(axis=1, keepdims=True)
+    depth_values = (weights * z_vals).sum(axis=1, keepdims=True) / (wsum + 1e-8)
+    rendered_depth = depth_values                                        # [R,1]
+    surf_points = cam_loc + rendered_depth * ray_dirs                    # [R,3]
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    # ---- optical-flow prediction over the edge graph (network.py:153-165)
+    if edges is not None:
+        tgt_pose = batch.poses[edges.idjj]              # [E,4,4]
+        tgt_w2c = jnp.linalg.inv(tgt_pose)
+        tgt_K = batch.intrinsics[edges.idjj]
+        # project every ray's surface point into every edge's target frame;
+        # the loss masks rays not belonging to edge.idii.
+        cam_pts = (jnp.einsum("eij,rj->eri", tgt_w2c[:, :3, :3], surf_points)
+                   + tgt_w2c[:, None, :3, 3])
+        pix = jnp.einsum("eij,erj->eri", tgt_K[:, :3, :3], cam_pts)
+        flow_uv = pix[..., :2] / (pix[..., 2:] + 1e-8)
+        out["flow"] = flow_uv - batch.uv[None, :, :]    # [E,R,2]
+
+    # ---- warp machinery, patchsize==1 (network.py:167-279)
+    if cfg.use_warp_loss and is_mapping and full_rgb is not None:
+        Ns = batch.poses.shape[0]
+        w2c_all = jnp.linalg.inv(batch.poses)           # [S,4,4]
+        cam_pts = (jnp.einsum("sij,rj->sri", w2c_all[:, :3, :3], surf_points)
+                   + w2c_all[:, None, :3, 3])
+        pix = jnp.einsum("sij,srj->sri", batch.intrinsics[:, :3, :3], cam_pts)
+        tgt_uv = pix[..., :2] / (pix[..., 2:] + 1e-8)   # [S,R,2]
+        tgt_depth = pix[..., 2]                          # [S,R]
+        # reference normalizes by W (not W-1) then grid_samples with
+        # align_corners=True -> effective sample pos = uv*(dim-1)/dim
+        sx = tgt_uv[..., 0] * (cfg.W - 1) / cfg.W
+        sy = tgt_uv[..., 1] * (cfg.H - 1) / cfg.H
+        sampled = _bilinear_sample_images(full_rgb, sx, sy, cfg.H, cfg.W)
+        in_bounds = (
+            (tgt_uv[..., 0] / cfg.W * 2 - 1 > -1)
+            & (tgt_uv[..., 0] / cfg.W * 2 - 1 < 1)
+            & (tgt_uv[..., 1] / cfg.H * 2 - 1 > -1)
+            & (tgt_uv[..., 1] / cfg.H * 2 - 1 < 1)
+            & (tgt_depth > 0)
+        )
+        warp_mask = (in_bounds & batch.slot_valid[:, None]
+                     & batch.ray_valid[None, :])         # [S,R]
+        out["warp_sampled_rgb"] = sampled                # [S,R,3]
+        out["warp_mask"] = warp_mask
+
+    depth_values = depth_scale * depth_values
+
+    if cfg.white_bkgd:
+        acc = weights.sum(-1)
+        rgb_values = rgb_values + (1.0 - acc[..., None]) * jnp.asarray(cfg.bg_color)
+
+    out.update({
+        "rgb": rgb,
+        "rgb_values": rgb_values,
+        "depth_values": depth_values,
+        "z_vals": z_vals,
+        "depth_vals": z_vals * depth_scale,
+        "sdf": sdf.reshape(R, S),
+        "weights": weights,
+        "entropy": (-weights * jnp.log(weights + 1e-4)).sum(-1).mean(),
+    })
+
+    if cfg.render.model_exposure:
+        out["rgb_un"] = rgb_un
+        out["rgb_un_values"] = (weights[..., None] * rgb_un).sum(axis=1)
+
+    # ---- eikonal points (network.py:313-336)
+    if training and is_mapping:
+        n_eik = R
+        eik_uniform = jax.random.uniform(
+            k_eik_uni, (n_eik * 10, 3),
+            minval=-cfg.scene_bounding_sphere, maxval=cfg.scene_bounding_sphere)
+        eik_near = jax.lax.stop_gradient(
+            cam_loc + z_eik * ray_dirs)                  # [R,3]
+        eik_pts = jnp.concatenate([eik_uniform, eik_near], axis=0)
+        neighbours = eik_pts + (jax.random.uniform(k_eik_nei, eik_pts.shape) - 0.5) * 0.01
+        all_pts = jnp.concatenate([eik_pts, neighbours], axis=0)
+        grad_theta = fields.combine_gradient(
+            cfg.combine, params["implicit"], all_pts, stage)
+        half = all_pts.shape[0] // 2
+        out["grad_theta"] = grad_theta[:half]
+        out["grad_theta_nei"] = grad_theta[half:]
+
+    # ---- normal map in camera coords (network.py:339-345)
+    normals = gradients / (jnp.linalg.norm(gradients, axis=-1, keepdims=True) + 1e-6)
+    normals = normals.reshape(R, S, 3)
+    normal_map = (weights[..., None] * normals).sum(axis=1)              # [R,3]
+    rot = batch.poses[batch.kf_slot][:, :3, :3]
+    normal_map = jnp.einsum("rij,ri->rj", rot, normal_map)
+    out["normal_map"] = normal_map
+
+    if is_mapping:
+        out["voxels"] = new_voxels
+    return out
+
+
+def _bilinear_sample_images(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                            H: int, W: int) -> jnp.ndarray:
+    """Bilinear sample with zero padding, grid_sample-equivalent.
+
+    images: [S, H*W, C]; x,y: [S,R] pixel coords. Returns [S,R,C].
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        flat = yi_c * W + xi_c                     # [S,R]
+        vals = jnp.take_along_axis(images, flat[..., None], axis=1)
+        if vals.dtype == jnp.uint8:
+            vals = vals.astype(jnp.float32) / 255.0
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    v00 = gather(x0i, y0i)
+    v01 = gather(x0i + 1, y0i)
+    v10 = gather(x0i, y0i + 1)
+    v11 = gather(x0i + 1, y0i + 1)
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = (fx * (1 - fy))[..., None]
+    w10 = ((1 - fx) * fy)[..., None]
+    w11 = (fx * fy)[..., None]
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11

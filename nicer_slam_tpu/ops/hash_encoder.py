@@ -113,13 +113,15 @@ def make_spec(
     )
 
 
-def init_hash_params(rng: jax.Array, spec: HashGridSpec,
-                     dtype=jnp.float32) -> jnp.ndarray:
-    """U(-1e-4, 1e-4) init, as hashgrid.py:180-182."""
-    return jax.random.uniform(
-        rng, (spec.total_entries, spec.level_dim), dtype=dtype,
-        minval=-1e-4, maxval=1e-4,
-    )
+def init_hash_params(rng, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
+    """U(-1e-4, 1e-4) init, as hashgrid.py:180-182.
+
+    ``rng`` is a numpy Generator (or int seed); host-side init avoids
+    per-shape jax.random compiles for the large tables."""
+    if not isinstance(rng, np.random.Generator):
+        rng = np.random.default_rng(int(np.asarray(rng).ravel()[-1]))
+    w = rng.uniform(-1e-4, 1e-4, (spec.total_entries, spec.level_dim))
+    return jnp.asarray(w.astype(np.float32)).astype(dtype)
 
 
 def _corner_offsets(d: int) -> np.ndarray:

@@ -47,7 +47,12 @@ class SamplerConfig(NamedTuple):
 def uniform_z_vals(cfg: SamplerConfig, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                    rng: jax.Array | None, training: bool):
     """Stratified uniform samples from cube intersection
-    (ray_sampler.py:37-61). Returns (z_vals [R,Ne], near [R,1], far [R,1])."""
+    (ray_sampler.py:37-61). Returns (z_vals [R,Ne], near [R,1], far [R,1]).
+
+    Rays are detached (ray_sampler.py:38-39): z values never carry pose
+    gradients; pose gradients flow only through point positions."""
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
     _, far = near_far_from_cube(rays_o, rays_d,
                                 bound=cfg.scene_bounding_sphere,
                                 near_min=cfg.near, far_max=cfg.uniform_far)

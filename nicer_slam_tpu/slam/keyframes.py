@@ -1,0 +1,110 @@
+"""Keyframe window selection and the flow-edge graph (host-side).
+
+Replicates the reference's per-mapping-iteration window construction
+(volsdf_train.py:449-499) and flow graph (``:312-324``):
+
+  frame 0:        [0]
+  frame < 200:    local = range(0, frame, 10) + [frame]       (no global)
+  frame >= 200:   global = window//3 random keyframes among all but the
+                  last 4; local = 2*window//3 random of the last 20
+                  keyframes + current frame (sorted unique)
+  at iters//2:    local += all frames since the last keyframe
+  edges: between local frames divisible by 10 with 0 < |i-j| <= 30, offset
+  by the global-list length; only built when the global list has >= 2
+  entries (i.e. frame >= 200).
+
+Randomness uses a host numpy Generator (the reference uses torch.randint on
+CPU; only the distribution matters).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class KeyframeConfig(NamedTuple):
+    mapping_window_size: int = 15
+    keyframe_every: int = 10
+    num_mapping_iters: int = 100
+
+
+class MappingWindow(NamedTuple):
+    keyframe_list: List[int]          # slot -> frame id (may contain dups)
+    edges: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+    # (idii, idjj, ii, jj): slot indices + frame ids, or None
+    writeback_eligible: List[bool]    # per slot: BA result written back?
+
+
+def build_flow_graph(local_list: List[int], placeholder: int,
+                     thresh: int = 30):
+    """volsdf_train.py:312-324."""
+    ides, es = [], []
+    for idx, x in enumerate(local_list):
+        for idy, y in enumerate(local_list):
+            if x % 10 == 0 and y % 10 == 0 and 0 < abs(x - y) <= thresh:
+                ides.append((idx, idy))
+                es.append((x, y))
+    if not ides:
+        return None
+    ides_np = np.asarray(ides, np.int32)
+    es_np = np.asarray(es, np.int32)
+    return (ides_np[:, 0] + placeholder, ides_np[:, 1] + placeholder,
+            es_np[:, 0], es_np[:, 1])
+
+
+class KeyframeSelector:
+    def __init__(self, cfg: KeyframeConfig, seed: int = 0):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self._local_list: List[int] = []
+        self._edges = None
+
+    def window(self, frame_idx: int, mapping_iter: int) -> MappingWindow:
+        cfg = self.cfg
+        ke = cfg.keyframe_every
+        ws = cfg.mapping_window_size
+
+        if frame_idx == 0:
+            return MappingWindow([0], None, [True])
+
+        if frame_idx < 200:
+            global_list: List[int] = []
+        else:
+            hi = max(frame_idx // ke - 4, 0)
+            global_list = sorted(
+                (self.rng.integers(0, max(hi, 1), ws // 3) * ke).tolist())
+
+        if mapping_iter == 0:
+            if frame_idx < 200:
+                local_list = list(range(0, frame_idx, 10)) + [frame_idx]
+            else:
+                lo = max(frame_idx // ke - 20, 0)
+                hi = frame_idx // ke
+                local_list = (self.rng.integers(lo, hi, ws // 3 * 2) * ke).tolist()
+                local_list += [frame_idx]
+            self._local_list = sorted(set(local_list))
+            if len(global_list) >= 2:
+                self._edges = build_flow_graph(self._local_list,
+                                               placeholder=ws // 3)
+            else:
+                self._edges = None
+
+        if mapping_iter == cfg.num_mapping_iters // 2:
+            extra = list(range(frame_idx // ke * ke, frame_idx))
+            self._local_list = self._local_list + extra
+
+        keyframe_list = list(global_list) + list(self._local_list)
+        # BA write-back: skip keyframe 0 (pinned to GT) and the first
+        # window//2 entries (volsdf_train.py:584-592)
+        head = set(keyframe_list[: ws // 2])  # membership by value, as the
+        wb = []                               # reference's `in` check does
+        for kf in keyframe_list:
+            if kf == 0:
+                wb.append(False)
+            elif frame_idx >= 1 and kf in head:
+                wb.append(False)
+            else:
+                wb.append(True)
+        return MappingWindow(keyframe_list, self._edges, wb)

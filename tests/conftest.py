@@ -5,10 +5,17 @@ TPU hardware is exercised by bench.py, not by unit tests.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the surrounding environment exports JAX_PLATFORMS=axon (the
+# remote TPU tunnel) which would make every eager op a ~10ms RPC.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/nicer_slam_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

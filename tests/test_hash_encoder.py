@@ -38,7 +38,7 @@ def test_dense_matches_reference_impl(rng):
     emb = he.init_hash_params(rng, spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-0.999,
                            maxval=0.999)
-    got = np.asarray(he.hash_encode(spec, emb, x))
+    got = np.asarray(jax.jit(lambda e, xx: he.hash_encode(spec, e, xx))(emb, x))
     want = he.hash_encode_dense_ref(spec, np.asarray(emb), np.asarray(x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
@@ -47,11 +47,11 @@ def test_out_of_bounds_zero(rng):
     spec = small_dense_spec()
     emb = he.init_hash_params(rng, spec)
     x = jnp.array([[1.5, 0.0, 0.0], [0.0, -1.2, 0.3], [0.2, 0.2, 0.2]])
-    out = he.hash_encode(spec, emb, x)
+    out = jax.jit(lambda e, xx: he.hash_encode(spec, e, xx))(emb, x)
     assert np.all(np.asarray(out[:2]) == 0.0)
     assert np.any(np.asarray(out[2]) != 0.0)
     # gradient wrt inputs must be zero for oob points too
-    g = jax.grad(lambda xx: he.hash_encode(spec, emb, xx).sum())(x)
+    g = jax.jit(jax.grad(lambda xx: he.hash_encode(spec, emb, xx).sum()))(x)
     assert np.all(np.asarray(g[:2]) == 0.0)
 
 
@@ -60,10 +60,8 @@ def test_gradients_vs_finite_difference(rng):
     emb = he.init_hash_params(rng, spec) * 1e3  # scale up for fd resolution
     x0 = jnp.array([[0.123, -0.456, 0.321], [0.77, 0.11, -0.65]])
 
-    def f(xx):
-        return he.hash_encode(spec, emb, xx).sum()
-
-    g = np.asarray(jax.grad(f)(x0))
+    f = jax.jit(lambda xx: he.hash_encode(spec, emb, xx).sum())
+    g = np.asarray(jax.jit(jax.grad(f))(x0))
     eps = 1e-4
     for i in range(x0.shape[0]):
         for d in range(3):
@@ -80,11 +78,12 @@ def test_second_order_grad_exists_and_matches_fd(rng):
     emb = he.init_hash_params(rng, spec) * 1e3
     x0 = jnp.array([[0.2, 0.3, -0.1]])
 
+    @jax.jit
     def norm_of_grad(e):
         g = jax.grad(lambda xx: he.hash_encode(spec, e, xx).sum())(x0)
         return (g ** 2).sum()
 
-    ge = jax.grad(norm_of_grad)(emb)
+    ge = jax.jit(jax.grad(norm_of_grad))(emb)
     assert np.isfinite(np.asarray(ge)).all()
     assert np.abs(np.asarray(ge)).max() > 0
 
@@ -103,8 +102,8 @@ def test_smoothstep_continuity_of_gradient(rng):
     spec = small_dense_spec()
     emb = he.init_hash_params(rng, spec)
 
-    def g(xx):
-        return jax.grad(lambda p: he.hash_encode(spec, emb, p).sum())(xx)
+    g = jax.jit(lambda xx: jax.grad(
+        lambda p: he.hash_encode(spec, emb, p).sum())(xx))
 
     # boundary of the coarsest level at scale=7: u = k/7 -> x = 2u-1
     ub = 3.0 / 7.0

@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nicer_slam_tpu.models import fields
+from nicer_slam_tpu.models import scene_model as sm
+from nicer_slam_tpu.ops.ray_sampling import SamplerConfig
+
+
+def tiny_scene_cfg(H=32, W=40):
+    imp = fields.ImplicitNetConfig(
+        dims=(16,), base_size=8, end_size=16, num_levels=2, level_dim=2,
+        logmap=15, multires=6, feature_vector_size=8, name="coarse")
+    # fine: geometric_init off (like runconf_demo_1.conf) — geometric init
+    # zeroes first-layer grid-feature weights, giving exactly-zero grid grads
+    # at step 0 (base_networks.py:138), which would defeat the grad tests.
+    impf = imp._replace(dims=(16, 16), name="fine", geometric_init=False)
+    rend = fields.RenderingNetConfig(
+        dims=(16, 16), multires_view=4, use_grid_feature=False,
+        feature_vector_size=8, n_images=10)
+    return sm.SceneConfig(
+        combine=fields.CombineConfig(coarse=imp, fine=impf),
+        render=rend,
+        sampler=SamplerConfig(N_samples=8, N_samples_eval=32, N_samples_extra=4),
+        use_warp_loss=True,
+        H=H, W=W,
+    )
+
+
+def make_batch(cfg, R=16, S=2):
+    rng = np.random.default_rng(0)
+    uv = np.stack([rng.uniform(0, cfg.W - 1, R), rng.uniform(0, cfg.H - 1, R)],
+                  axis=-1).astype(np.float32)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 35.0
+    K[0, 2] = cfg.W / 2
+    K[1, 2] = cfg.H / 2
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (S, 1, 1))
+    poses[:, 2, 3] = -0.3  # camera inside the init sphere (r=0.6), looking +z
+    return sm.RayBatch(
+        uv=jnp.asarray(uv),
+        kf_slot=jnp.asarray((np.arange(R) % S).astype(np.int32)),
+        poses=jnp.asarray(poses),
+        intrinsics=jnp.tile(jnp.asarray(K)[None], (S, 1, 1)),
+        frame_ids=jnp.arange(S, dtype=jnp.int32),
+        slot_valid=jnp.ones(S, dtype=bool),
+        ray_valid=jnp.ones(R, dtype=bool),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = tiny_scene_cfg()
+    params = sm.init_scene_params(jax.random.PRNGKey(0), cfg)
+    voxels = sm.init_voxels(cfg)
+    return cfg, params, voxels
+
+
+def test_render_shapes_and_finiteness(scene):
+    cfg, params, voxels = scene
+    batch = make_batch(cfg)
+    R = batch.uv.shape[0]
+    out = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg, p, v, b, k, stage="fine", is_mapping=True,
+        full_rgb=jnp.ones((2, cfg.H * cfg.W, 3)) * 0.5))(
+        params, voxels, batch, jax.random.PRNGKey(1))
+    S_total = cfg.sampler.total_samples
+    assert out["rgb_values"].shape == (R, 3)
+    assert out["depth_values"].shape == (R, 1)
+    assert out["normal_map"].shape == (R, 3)
+    assert out["sdf"].shape == (R, S_total)
+    assert out["weights"].shape == (R, S_total)
+    assert out["grad_theta"].shape == (R * 11, 3)
+    assert out["warp_sampled_rgb"].shape == (2, R, 3)
+    assert float(out["voxels"].sum()) > 0
+    for k in ("rgb_values", "depth_values", "normal_map"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_geometric_init_renders_plausible_depth(scene):
+    """With geometric init (inside_outside sphere of radius ~bias=0.6) the
+    rendered depth should be near the camera-to-surface distance."""
+    cfg, params, voxels = scene
+    batch = make_batch(cfg, R=4)
+    out = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg, p, v, b, k, training=False))(params, voxels, batch,
+                                          jax.random.PRNGKey(2))
+    # camera at z=-0.3 inside the geometric-init sphere (radius ~0.6):
+    # the wall along +z is ~0.9 away -> rendered depth should be O(1)
+    d = np.asarray(out["depth_values"])[:, 0]
+    assert np.all(d > 0.2) and np.all(d < 1.6)
+
+
+def test_pose_gradients_flow(scene):
+    """Tracking path: d loss / d pose quaternion must be nonzero."""
+    cfg, params, voxels = scene
+    batch = make_batch(cfg, R=8, S=1)
+    from nicer_slam_tpu.utils.camera import camera_from_tensor
+
+    def loss(t7):
+        b = batch._replace(poses=camera_from_tensor(t7)[None])
+        out = sm.render_rays(cfg, params, voxels, b, jax.random.PRNGKey(3),
+                             training=True)
+        return out["rgb_values"].sum() + out["depth_values"].sum()
+
+    t7 = jnp.array([1.0, 0.01, 0.0, 0.0, 0.0, 0.0, -0.8])
+    g = jax.jit(jax.grad(loss))(t7)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_param_gradients_flow_second_order(scene):
+    """Mapping path: grads w.r.t. hash grids through the normal map (a
+    second-order path) must be finite and nonzero."""
+    cfg, params, voxels = scene
+    batch = make_batch(cfg, R=8)
+
+    def loss(p):
+        out = sm.render_rays(cfg, p, voxels, batch, jax.random.PRNGKey(4),
+                             stage="fine", is_mapping=True)
+        eik = ((jnp.linalg.norm(out["grad_theta"], axis=1) - 1) ** 2).mean()
+        return out["rgb_values"].sum() + out["normal_map"].sum() + eik
+
+    g = jax.jit(jax.grad(loss))(params)
+    g_fine = np.asarray(g["implicit"]["fine"]["encoding"])
+    g_coarse = np.asarray(g["implicit"]["coarse"]["encoding"])
+    assert np.isfinite(g_fine).all() and np.isfinite(g_coarse).all()
+    assert np.abs(g_fine).max() > 0
+    # coarse uses geometric init whose first layer zeroes grid-feature
+    # columns (base_networks.py:138): its grid grads are exactly zero at
+    # step 0 in the reference too.
+    assert np.abs(g_coarse).max() == 0
+    g_mlp = np.asarray(g["implicit"]["coarse"]["lins"][0]["v"])
+    assert np.abs(g_mlp).max() > 0  # but its MLP does receive gradient
+
+
+def test_flow_prediction_identity_pose(scene):
+    """Two identical poses -> predicted flow between them is ~zero."""
+    cfg, params, voxels = scene
+    batch = make_batch(cfg, R=8, S=2)
+    edges = sm.FlowEdges(idii=jnp.array([0]), idjj=jnp.array([1]),
+                         valid=jnp.ones(1, dtype=bool))
+    out = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg, p, v, b, k, training=False, edges=edges))(
+        params, voxels, batch, jax.random.PRNGKey(5))
+    flow = np.asarray(out["flow"])  # [1,R,2]
+    np.testing.assert_allclose(flow, 0.0, atol=0.1)  # f32 4x4-inverse roundoff
