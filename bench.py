@@ -1,0 +1,116 @@
+"""Benchmark: mapping throughput (rays/sec/chip) on real TPU hardware.
+
+Runs the full flagship (Replica-config) mapping train step — 8192 rays/iter
+through the 640-sample hierarchical prepass, coarse+fine hash-grid SDF with
+second-order gradients, color net, 9-term loss, and 6-group Adam — and
+reports sustained rays/sec on one chip.
+
+Baseline derivation (BASELINE.md): the reference's 200-frame demo takes
+~30 min on a ~24GB GPU (README.md:151). Per demo config that is
+200 frames x 100 track iters x 1024 rays + 40 mapping calls x 100 iters x
+4096 rays = 36.9M rays in 1800 s ≈ 20.5k rays/s. We use the same
+all-in (tracking+mapping mix) definition: vs_baseline = ours / 20500.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_RAYS_PER_SEC = 20500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _flagship_setup
+    from nicer_slam_tpu.models.losses import loss_config_from_conf
+    from nicer_slam_tpu.slam.mapping import MapBatchRefs, MapConfig, map_step
+    from nicer_slam_tpu.slam.state import OptimConfig, make_optimizer
+    from nicer_slam_tpu.utils.camera import tensor_from_camera_np
+
+    conf, scene_cfg, params, voxels = _flagship_setup(tiny=False, n_images=64)
+    loss_cfg = loss_config_from_conf(conf.get_config("loss"))
+    optim_cfg = OptimConfig(
+        learning_rate=conf.get_float("train.learning_rate"),
+        lr_factor_for_fine_grid=conf.get_float("train.lr_factor_for_fine_grid"),
+        lr_factor_for_coarse_grid=conf.get_float("train.lr_factor_for_coarse_grid"),
+        lr_factor_for_color_grid=conf.get_float("train.lr_factor_for_color_grid"),
+    )
+    optimizer = make_optimizer(optim_cfg, params)
+    opt_state = optimizer.init(params)
+
+    H, W = scene_cfg.H, scene_cfg.W
+    HW = H * W
+    Smax = 16
+    R = conf.get_int("train.mapping_num_pixels", 8192)
+    map_cfg = MapConfig(num_pixels=R, max_slots=Smax, max_edges=4)
+
+    rng = np.random.default_rng(0)
+    store_rgb = jnp.asarray(rng.integers(0, 255, (Smax, HW, 3)).astype(np.uint8))
+    store_depth = jnp.asarray(rng.uniform(0.01, 0.06, (Smax, HW)).astype(np.float16))
+    store_normal = jnp.asarray(rng.normal(size=(Smax, HW, 3)).astype(np.float16))
+    store_gt_depth = jnp.asarray(rng.uniform(0.2, 1.2, (Smax, HW)).astype(np.float16))
+    store_mask = jnp.ones((Smax, HW), bool)
+
+    poses_q = np.zeros((Smax, 7), np.float32)
+    for s in range(Smax):
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -0.3 + 0.005 * s
+        poses_q[s] = tensor_from_camera_np(pose)
+    poses_q = jnp.asarray(poses_q)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 600.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    refs = MapBatchRefs(
+        slot_rows=jnp.arange(Smax, dtype=jnp.int32),
+        frame_ids=jnp.arange(Smax, dtype=jnp.int32),
+        n_valid=jnp.asarray(Smax, jnp.int32),
+        intrinsics=jnp.tile(jnp.asarray(K)[None], (Smax, 1, 1)),
+        edge_idii=jnp.zeros((4,), jnp.int32),
+        edge_idjj=jnp.ones((4,), jnp.int32),
+        edge_valid=jnp.zeros((4,), bool),
+        flow_imgs=jnp.zeros((4, HW, 2), jnp.float16),
+        flow_occ=jnp.zeros((4, HW), bool),
+    )
+
+    def step(params, opt_state, voxels, poses_q, key):
+        return map_step(
+            scene_cfg, map_cfg, loss_cfg, params, opt_state, voxels,
+            optimizer, poses_q, refs,
+            store_rgb, store_depth, store_normal, store_gt_depth, store_mask,
+            key, stage="fine", color_stage="highfreq", ba=False,
+            is_first_frame=False, use_flow=False)
+
+    # warmup / compile
+    key = jax.random.PRNGKey(0)
+    params, opt_state, voxels, poses_q, terms = step(
+        params, opt_state, voxels, poses_q, key)
+    jax.block_until_ready(terms["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, voxels, poses_q, terms = step(
+            params, opt_state, voxels, poses_q, jax.random.fold_in(key, i))
+    jax.block_until_ready(terms["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = R * iters / dt
+    print(json.dumps({
+        "metric": "mapping_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.safe_math import safe_norm, safe_normalize
 from .scene_model import RayBatch, FlowEdges
 
 
@@ -105,16 +106,20 @@ def ssi_depth_loss(pred, target, mask, seg_ids, num_segments, alpha: float = 0.5
     shift = jax.lax.stop_gradient(shift)
     pred_ssi = scale[seg_ids] * pred + shift[seg_ids]
 
-    # data term: sum(mask*res^2) / (2*sum(mask)) (MiDaS.py:52-58)
+    # data term: sum(mask*res^2) / (2*sum(mask)) (MiDaS.py:52-58).
+    # NOTE the divisor must be made safe BEFORE dividing — a bare
+    # where(msum>0, x/msum, 0) still differentiates the untaken branch and
+    # produces 0*inf = NaN gradients when the mask is empty.
     res = pred_ssi - target
     msum = mask.sum()
-    data = jnp.where(msum > 0, (mask * res * res).sum() / (2.0 * msum), 0.0)
+    msum_safe = jnp.maximum(msum, 1.0)
+    data = jnp.where(msum > 0, (mask * res * res).sum() / (2.0 * msum_safe), 0.0)
 
     # gradient term, one scale: pairs of consecutive rays in the same slot
     diff = mask * (pred_ssi - target)
     pair = (seg_ids[1:] == seg_ids[:-1]).astype(pred.dtype)
     grad = jnp.abs(diff[1:] - diff[:-1]) * mask[1:] * mask[:-1] * pair
-    reg = jnp.where(msum > 0, grad.sum() / msum, 0.0)
+    reg = jnp.where(msum > 0, grad.sum() / msum_safe, 0.0)
     return data + alpha * reg
 
 
@@ -127,19 +132,19 @@ def rgb_l1(pred, gt, ray_valid):
 
 
 def eikonal_loss(grad_theta):
-    return ((jnp.linalg.norm(grad_theta, axis=1) - 1.0) ** 2).mean()
+    return ((safe_norm(grad_theta, axis=1) - 1.0) ** 2).mean()
 
 
 def smooth_loss(g1, g2):
-    n1 = g1 / (jnp.linalg.norm(g1, axis=1, keepdims=True) + 1e-5)
-    n2 = g2 / (jnp.linalg.norm(g2, axis=1, keepdims=True) + 1e-5)
-    return jnp.linalg.norm(n1 - n2, axis=-1).mean()
+    n1 = g1 / (safe_norm(g1, axis=1, keepdims=True) + 1e-5)
+    n2 = g2 / (safe_norm(g2, axis=1, keepdims=True) + 1e-5)
+    return safe_norm(n1 - n2, axis=-1).mean()
 
 
 def normal_losses(normal_pred, normal_gt, mask):
     """loss.py:93-98 with the pre-masking convention of loss.py:193."""
-    ng = normal_gt / (jnp.linalg.norm(normal_gt, axis=-1, keepdims=True) + 1e-12)
-    np_ = normal_pred / (jnp.linalg.norm(normal_pred, axis=-1, keepdims=True) + 1e-12)
+    ng = safe_normalize(normal_gt, axis=-1)
+    np_ = safe_normalize(normal_pred, axis=-1)
     m = mask.astype(normal_pred.dtype)
     ng = ng * m
     np_ = np_ * m

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import Config
 from ..ops import density as density_ops
+from ..ops.safe_math import safe_norm
 from ..ops.ray_sampling import SamplerConfig, importance_z_vals
 from ..ops.volume_rendering import render_weights
 from ..utils.camera import rays_from_uv
@@ -59,6 +60,7 @@ def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneC
         N_samples=rs.get_int("N_samples", 64),
         N_samples_eval=rs.get_int("N_samples_eval", 640),
         N_samples_extra=rs.get_int("N_samples_extra", 32),
+        prepass_ray_chunk=rs.get_int("prepass_ray_chunk", 1024),
     )
     patchsizes = model_conf.get_list("mapping_patchsizes", [1])
     return SceneConfig(
@@ -153,9 +155,27 @@ def render_rays(
     def density_prepass(sdf, pts):
         return _density(cfg, params, voxels, sdf, pts)
 
-    z_vals, z_eik = importance_z_vals(
-        cfg.sampler, cam_loc, ray_dirs, sdf_prepass, density_prepass,
-        k_sample, training=training)
+    pc = cfg.sampler.prepass_ray_chunk
+    if pc and R > pc and R % pc == 0:
+        # sequential ray chunks bound the prepass working set (the 640-eval
+        # no-grad pass is ~R*640 points; unchunked it dominates HBM)
+        n_chunks = R // pc
+        keys = jax.random.split(k_sample, n_chunks)
+
+        def chunk_fn(args):
+            o, d, k = args
+            return importance_z_vals(cfg.sampler, o, d, sdf_prepass,
+                                     density_prepass, k, training=training)
+
+        z_vals, z_eik = jax.lax.map(
+            chunk_fn, (cam_loc.reshape(n_chunks, pc, 3),
+                       ray_dirs.reshape(n_chunks, pc, 3), keys))
+        z_vals = z_vals.reshape(R, -1)
+        z_eik = z_eik.reshape(R, 1)
+    else:
+        z_vals, z_eik = importance_z_vals(
+            cfg.sampler, cam_loc, ray_dirs, sdf_prepass, density_prepass,
+            k_sample, training=training)
     S = z_vals.shape[1]
 
     points = cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
@@ -167,16 +187,23 @@ def render_rays(
 
     dirs_flat = jnp.broadcast_to(ray_dirs[:, None, :], points.shape).reshape(-1, 3)
 
-    sdf, feature_vectors, gradients = fields.combine_get_outputs(
-        cfg.combine, params["implicit"], points_flat, stage)
+    # remat the per-point field evals: the second-order backward otherwise
+    # stores multi-GB gather residuals (recompute is ~free next to HBM)
+    get_outputs_ckpt = jax.checkpoint(
+        lambda p, x: fields.combine_get_outputs(cfg.combine, p, x, stage))
+    sdf, feature_vectors, gradients = get_outputs_ckpt(
+        params["implicit"], points_flat)
 
     point_frame_ids = batch.frame_ids[batch.kf_slot]
     point_frame_ids = jnp.broadcast_to(
         point_frame_ids[:, None], (R, S)).reshape(-1)
 
-    rgb_flat = fields.rendering_forward(
-        cfg.render, params["render"], points_flat, gradients, dirs_flat,
-        feature_vectors, image_indices=point_frame_ids, color_stage=color_stage)
+    render_fwd_ckpt = jax.checkpoint(
+        lambda p, pts, g, d, f, idx: fields.rendering_forward(
+            cfg.render, p, pts, g, d, f, image_indices=idx,
+            color_stage=color_stage))
+    rgb_flat = render_fwd_ckpt(params["render"], points_flat, gradients,
+                               dirs_flat, feature_vectors, point_frame_ids)
     if cfg.render.model_exposure:
         rgb_flat, rgb_un_flat = rgb_flat
         rgb_un = rgb_un_flat.reshape(R, S, 3)
@@ -264,14 +291,15 @@ def render_rays(
         eik_pts = jnp.concatenate([eik_uniform, eik_near], axis=0)
         neighbours = eik_pts + (jax.random.uniform(k_eik_nei, eik_pts.shape) - 0.5) * 0.01
         all_pts = jnp.concatenate([eik_pts, neighbours], axis=0)
-        grad_theta = fields.combine_gradient(
-            cfg.combine, params["implicit"], all_pts, stage)
+        grad_theta = jax.checkpoint(
+            lambda p, x: fields.combine_gradient(cfg.combine, p, x, stage))(
+            params["implicit"], all_pts)
         half = all_pts.shape[0] // 2
         out["grad_theta"] = grad_theta[:half]
         out["grad_theta_nei"] = grad_theta[half:]
 
     # ---- normal map in camera coords (network.py:339-345)
-    normals = gradients / (jnp.linalg.norm(gradients, axis=-1, keepdims=True) + 1e-6)
+    normals = gradients / (safe_norm(gradients, axis=-1, keepdims=True) + 1e-6)
     normals = normals.reshape(R, S, 3)
     normal_map = (weights[..., None] * normals).sum(axis=1)              # [R,3]
     rot = batch.poses[batch.kf_slot][:, :3, :3]

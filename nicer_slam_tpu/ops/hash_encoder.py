@@ -116,11 +116,15 @@ def make_spec(
 def init_hash_params(rng, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
     """U(-1e-4, 1e-4) init, as hashgrid.py:180-182.
 
+    Layout: ``[level_dim, total_entries]`` — feature-major so the huge entry
+    axis is the TPU lane dimension (a [T, C<=8] layout would transpose-copy
+    ~1 GB tables every step; see hash_encode's layout note).
+
     ``rng`` is a numpy Generator (or int seed); host-side init avoids
     per-shape jax.random compiles for the large tables."""
     if not isinstance(rng, np.random.Generator):
         rng = np.random.default_rng(int(np.asarray(rng).ravel()[-1]))
-    w = rng.uniform(-1e-4, 1e-4, (spec.total_entries, spec.level_dim))
+    w = rng.uniform(-1e-4, 1e-4, (spec.level_dim, spec.total_entries))
     return jnp.asarray(w.astype(np.float32)).astype(dtype)
 
 
@@ -161,39 +165,70 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
     Matches HashEncoder.forward (hashgrid.py:199-215) + kernel_grid
     (hashencoder.cu:131-283): smoothstep-weighted 2^D-corner interpolation
     per level, zero output for out-of-[0,1] inputs.
+
+    TPU layout note: all large intermediates keep the POINT axis as the
+    minor (lane) dimension — a ``[N·2^D, C]`` gather with C=2..8 would be
+    lane-padded to 128 on TPU, a 16-64x HBM blowup at the 5M-point prepass
+    scale. Here gathers produce ``[C, 2^D, N]`` instead.
     """
     D = spec.input_dim
     prefix = x.shape[:-1]
     x = x.reshape(-1, D)
+    N = x.shape[0]
     u = (x + size) / (2.0 * size)
 
-    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1, keepdims=True)  # [N,1]
-    corners = jnp.asarray(_corner_offsets(D))  # [2^D, D]
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)      # [N]
+    corners = jnp.asarray(_corner_offsets(D))          # [2^D, D]
+    u_t = u.T                                          # [D, N]
+
+    emb_t = embeddings                                 # [C, T] (native layout)
+    C = spec.level_dim
 
     outs = []
     for lvl in range(spec.num_levels):
         scale = spec.scales[lvl]
-        pos = u * scale
+        pos = u_t * scale                              # [D, N]
         left = jnp.floor(pos)
         f = pos - left
-        wb = f * f * (3.0 - 2.0 * f)          # smoothstep
+        wb = f * f * (3.0 - 2.0 * f)                   # smoothstep, [D, N]
         wa = 1.0 - wb
         left_i = left.astype(jnp.int32)
 
-        corner_xyz = left_i[:, None, :] + corners[None, :, :]      # [N,8,D]
-        rows = _level_indices(spec, lvl, corner_xyz)               # [N,8]
-        vals = embeddings[rows]                                    # [N,8,C]
+        corner_xyz = left_i[None, :, :] + corners[:, :, None]      # [2^D,D,N]
+        rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D, N]
+        vals = emb_t[:, rows]                                      # [C,2^D,N]
         # weight per corner = prod over dims of (wb if bit else wa)
-        w = jnp.ones(corner_xyz.shape[:-1], dtype=u.dtype)
+        w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
         for d in range(D):
-            bit = corners[None, :, d]
-            w = w * jnp.where(bit == 1, wb[:, None, d], wa[:, None, d])
-        out = (w[..., None] * vals).sum(axis=1)                    # [N,C]
+            bit = corners[:, d:d + 1]                              # [2^D,1]
+            w = w * jnp.where(bit == 1, wb[d][None, :], wa[d][None, :])
+        out = (w[None, :, :] * vals).sum(axis=1)                   # [C, N]
         outs.append(out)
 
-    feats = jnp.concatenate(outs, axis=-1)
-    feats = jnp.where(oob, 0.0, feats)
-    return feats.reshape(*prefix, spec.output_dim)
+    feats = jnp.concatenate(outs, axis=0)                          # [L*C, N]
+    feats = jnp.where(oob[None, :], 0.0, feats)
+    return feats.T.reshape(*prefix, spec.output_dim)
+
+
+def _level_indices_t(spec: HashGridSpec, lvl: int,
+                     corner: jnp.ndarray) -> jnp.ndarray:
+    """Corner-major variant of _level_indices: [2^D, D, N] -> [2^D, N]."""
+    size = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    res = spec.resolutions[lvl]
+    c = corner.astype(jnp.uint32)
+    if spec.dense[lvl]:
+        idx = jnp.zeros((corner.shape[0], corner.shape[2]), dtype=jnp.uint32)
+        mult = 1
+        for d in range(spec.input_dim):
+            idx = idx + c[:, d, :] * jnp.uint32(mult)
+            mult *= res
+        idx = idx % jnp.uint32(size)
+    else:
+        idx = jnp.zeros((corner.shape[0], corner.shape[2]), dtype=jnp.uint32)
+        for d in range(spec.input_dim):
+            idx = idx ^ (c[:, d, :] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        idx = idx % jnp.uint32(size)
+    return (idx + jnp.uint32(spec.offsets[lvl])).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +241,7 @@ def hash_encode_dense_ref(spec: HashGridSpec, embeddings: np.ndarray,
     D = spec.input_dim
     assert D == 3
     x = np.asarray(x, dtype=np.float64).reshape(-1, 3)
-    emb = np.asarray(embeddings, dtype=np.float64)
+    emb = np.asarray(embeddings, dtype=np.float64).T  # [C,T] -> [T,C]
     u = (x + size) / (2.0 * size)
     outs = []
     for lvl in range(spec.num_levels):

@@ -28,6 +28,9 @@ class SamplerConfig(NamedTuple):
     N_samples: int = 64
     N_samples_eval: int = 640
     N_samples_extra: int = 32
+    # rays per sequential prepass chunk (lax.map): bounds the peak HBM of
+    # the 640-sample no-grad SDF prepass (N_eval x R points). 0 = no chunking.
+    prepass_ray_chunk: int = 1024
 
     @property
     def far(self) -> float:

@@ -62,7 +62,8 @@ def _ray_slots(R: int, n_valid: jnp.ndarray):
 @functools.partial(
     jax.jit,
     static_argnames=("scene_cfg", "map_cfg", "loss_cfg", "optimizer", "stage",
-                     "color_stage", "ba", "is_first_frame", "use_flow"),
+                     "color_stage", "ba", "is_first_frame", "use_flow",
+                     "shard_rays"),
     donate_argnames=("params", "opt_state", "voxels"),
 )
 def map_step(
@@ -87,6 +88,7 @@ def map_step(
     ba: bool,
     is_first_frame: bool,
     use_flow: bool,
+    shard_rays=None,
 ):
     """One mapping iteration. Returns (params, opt_state, voxels, poses_q,
     terms dict)."""
@@ -98,6 +100,13 @@ def map_step(
     k_pix, k_render = jax.random.split(key)
     slot, ray_valid = _ray_slots(R, refs.n_valid)
     pix = jax.random.randint(k_pix, (R,), 0, HW)
+    if shard_rays is not None:
+        # data-parallel rays across chips: GSPMD propagates this sharding
+        # through the whole render and all-reduces parameter gradients
+        # (the psum over ICI, SURVEY.md §2.3) — params stay replicated.
+        pix = jax.lax.with_sharding_constraint(pix, shard_rays)
+        slot = jax.lax.with_sharding_constraint(slot, shard_rays)
+        ray_valid = jax.lax.with_sharding_constraint(ray_valid, shard_rays)
     rows = refs.slot_rows[slot]                      # [R]
 
     uv = jnp.stack([(pix % W).astype(jnp.float32),

@@ -1,0 +1,470 @@
+"""SLAMRunner: the experiment shell around the jitted track/map steps.
+
+Behavioral reference: cvg/nicer-slam ``code/training/volsdf_train.py``
+(SLAMRunner): experiment-dir layout (exps/<expname>_<scan>/<timestamp>/
+{vis/, checkpoints/{Model,Optimizer,Pose}Parameters/, runconf.conf}),
+per-frame loop: tracking -> (every mapping_every_frame) mapping+BA ->
+checkpoint -> vis/mesh.
+
+The compute path is fully functional/jitted (tracking.track_frame,
+mapping.map_step); this class is the thin imperative shell: keyframe
+selection, device staging, pose bookkeeping, IO.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from datetime import datetime
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as config_mod
+from ..models import scene_model as sm
+from ..models.losses import LossConfig, loss_config_from_conf
+from ..utils.camera import camera_from_tensor_np, tensor_from_camera_np
+from . import checkpoint as ckpt
+from .frame_store import FrameStore
+from .keyframes import KeyframeConfig, KeyframeSelector
+from .mapping import MapBatchRefs, MapConfig, map_step
+from .state import OptimConfig, make_optimizer
+from .tracking import TrackConfig, track_frame
+
+
+def get_class(path: str):
+    """Dynamic class loading by dotted string (utils/general.py:153-159),
+    with reference-style names mapped onto this package."""
+    aliases = {
+        "datasets.scene_dataset.SLAMDataset":
+            "nicer_slam_tpu.datasets.scene_dataset.SLAMDataset",
+        "model.network.SLAMNetwork": None,   # functional here
+        "model.loss.SLAMLoss": None,
+    }
+    path = aliases.get(path, path)
+    if path is None:
+        return None
+    parts = path.split(".")
+    mod = __import__(".".join(parts[:-1]), fromlist=[parts[-1]])
+    return getattr(mod, parts[-1])
+
+
+class SLAMRunner:
+    def __init__(
+        self,
+        conf: str,
+        expname: str = "",
+        exps_folder_name: str = "exps",
+        is_continue: bool = False,
+        timestamp: str = "latest",
+        new_expfolder: bool = False,
+        checkpoint: str = "latest",
+        scan_id: int = -1,
+        root_dir: str = ".",
+        seed: int = 0,
+        quiet: bool = False,
+    ):
+        self.conf_path = conf
+        self.conf = config_mod.parse_file(conf)
+        c = self.conf
+        self.quiet = quiet
+
+        self.n_images = c.get_int("dataset.n_images")
+        self.scan_id = scan_id if scan_id != -1 else c.get_int("dataset.scan_id", -1)
+        self.mapping_window_size = c.get_int("SLAM.mapping.mapping_window_size")
+        self.keyframe_every = c.get_int("SLAM.mapping.keyframe_every")
+        self.mapping_every_frame = c.get_int("SLAM.mapping.mapping_every_frame")
+        self.num_mapping_iters = c.get_int("SLAM.mapping.iters")
+        self.num_cam_iters = c.get_int("SLAM.tracking.iters")
+        self.enable_BA = c.get_bool("SLAM.mapping.BA")
+        self.BA_ratio = c.get_float("SLAM.mapping.BA_ratio", 0.7)
+        self.gt_cam = c.get_bool("SLAM.tracking.gt_cam", False)
+        self.const_speed = c.get_bool("SLAM.tracking.const_speed_assumption", False)
+        self.verbose = c.get_bool("SLAM.verbose", False)
+        self.checkpoint_freq = c.get_int("train.checkpoint_freq", 100)
+        self.plot_freq = c.get_int("train.plot_freq", 50)
+        self.mapping_inner_freq = c.get_int("SLAM.mapping.inner_freq", 1000)
+        self.split_n_pixels = c.get_int("train.split_n_pixels", 10000)
+
+        # ---- experiment dir layout (volsdf_train.py:66-92)
+        self.expname = c.get_string("train.expname") + expname
+        if self.scan_id != -1:
+            self.expname = f"{self.expname}_{self.scan_id}"
+        exps_root = os.path.join(root_dir, exps_folder_name)
+        os.makedirs(exps_root, exist_ok=True)
+        self.expdir = os.path.join(exps_root, self.expname)
+        os.makedirs(self.expdir, exist_ok=True)
+
+        resolved_timestamp = None
+        resumed = False
+        if is_continue and timestamp == "latest":
+            stamps = sorted(os.listdir(self.expdir)) if os.path.isdir(self.expdir) else []
+            if stamps:
+                resolved_timestamp = stamps[-1]
+                resumed = True
+        elif is_continue:
+            resolved_timestamp = timestamp
+            resumed = True
+
+        self.timestamp = "{:%Y_%m_%d_%H_%M_%S}".format(datetime.now())
+        self.timestamp += c.get_string("train.folder_suffix", "")
+        if resumed and not new_expfolder:
+            self.timestamp = resolved_timestamp
+        self.rundir = os.path.join(self.expdir, self.timestamp)
+        os.makedirs(self.rundir, exist_ok=True)
+        self.plots_dir = os.path.join(self.rundir, "vis")
+        os.makedirs(self.plots_dir, exist_ok=True)
+        self.checkpoints_path = os.path.join(self.rundir, "checkpoints")
+        for sub in ("ModelParameters", "OptimizerParameters", "PoseParameters"):
+            os.makedirs(os.path.join(self.checkpoints_path, sub), exist_ok=True)
+        # the conf is the reproducibility record (volsdf_train.py:90-92)
+        with open(self.conf_path) as f:
+            conf_text = f.read()
+        with open(os.path.join(self.rundir, "runconf.conf"), "w") as f:
+            f.write(conf_text)
+
+        # ---- dataset
+        ds_cls = get_class(c.get_string("train.dataset_class",
+                                        "datasets.scene_dataset.SLAMDataset"))
+        ds_conf = c.get_config("dataset").as_plain_dict()
+        ds_conf["scan_id"] = self.scan_id
+        self.dataset = ds_cls(keyframe_every=self.keyframe_every, **ds_conf)
+        self.H, self.W = self.dataset.img_res
+        self.total_pixels = self.H * self.W
+
+        # ---- model config + params
+        self.scene_cfg = sm.scene_config_from_conf(
+            c.get_config("model"), self.dataset.img_res, self.n_images)
+        rng = np.random.default_rng(seed)
+        self.params = sm.init_scene_params(rng, self.scene_cfg)
+        self.voxels = sm.init_voxels(self.scene_cfg)
+
+        # pretrained fine-MLP weights (volsdf_train.py:140-147 analogue).
+        # The reference HARD-requires pretrain.pth; without that geometric
+        # prior the random fine MLP wrecks the coarse net's geometric-sphere
+        # init and the map collapses into a billboard at the camera. Our
+        # fallback: force geometric init on the fine MLP (see
+        # tools/pretrain.py for producing a real pretrain.npz).
+        pretrain = c.get_string("train.pretrain_path", "pretrain.npz")
+        if not os.path.isabs(pretrain):
+            for base in (root_dir, os.path.dirname(os.path.abspath(conf)),
+                         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))):
+                cand = os.path.join(base, pretrain)
+                if os.path.exists(cand):
+                    pretrain = cand
+                    break
+        if os.path.exists(pretrain):
+            self._load_pretrained_fine_mlp(pretrain)
+        elif not self.scene_cfg.combine.fine.geometric_init:
+            from ..models.fields import init_implicit_net
+
+            fine_geo = self.scene_cfg.combine.fine._replace(geometric_init=True)
+            geo_params = init_implicit_net(np.random.default_rng(seed + 1),
+                                           fine_geo)
+            self.params["implicit"]["fine"]["lins"] = geo_params["lins"]
+            self.log("[warn] no pretrain.npz found — using geometric init "
+                     "for the fine SDF MLP")
+
+        # ---- losses (mapping + tracking instances, volsdf_train.py:117-130)
+        full_depth_mask = ("Replica" in c.get_string("dataset.data_dir")
+                           and self.scan_id == 4)
+        self.loss_cfg = loss_config_from_conf(
+            c.get_config("loss"), full_depth_mask=full_depth_mask)
+        self.tracking_loss_cfg = loss_config_from_conf(
+            c.get_config("tracking_loss"))
+
+        # ---- optimizer
+        self.optim_cfg = OptimConfig(
+            learning_rate=c.get_float("train.learning_rate"),
+            learning_rate_beta=c.get_float("train.learning_rate_beta", 2e-3),
+            lr_factor_for_fine_grid=c.get_float("train.lr_factor_for_fine_grid", 1.0),
+            lr_factor_for_coarse_grid=c.get_float("train.lr_factor_for_coarse_grid", 1.0),
+            lr_factor_for_color_grid=c.get_float("train.lr_factor_for_color_grid", 1.0),
+        )
+        self.optimizer = make_optimizer(self.optim_cfg, self.params)
+        self.opt_state = self.optimizer.init(self.params)
+
+        # ---- step configs
+        self.track_cfg = TrackConfig(
+            num_iters=self.num_cam_iters,
+            num_pixels=c.get_int("train.tracking_num_pixels", 1024),
+            cam_lr=c.get_float("SLAM.tracking.lr"),
+            Hedge=c.get_int("SLAM.tracking.Hedge", 0),
+            Wedge=c.get_int("SLAM.tracking.Wedge", 0),
+        )
+        max_slots = (self.mapping_window_size // 3  # global
+                     + min(21, 200 // 10 + 1)        # local (frame<200 worst)
+                     + self.keyframe_every)          # added recent frames
+        self.map_cfg = MapConfig(
+            num_pixels=c.get_int("train.mapping_num_pixels", 8192),
+            max_slots=max_slots,
+            max_edges=96,
+            BA_cam_lr=c.get_float("SLAM.mapping.BA_cam_lr", 1e-3),
+        )
+        self.kf_selector = KeyframeSelector(
+            KeyframeConfig(self.mapping_window_size, self.keyframe_every,
+                           self.num_mapping_iters), seed=seed)
+
+        # ---- device frame store
+        n_kf_rows = self.n_images // self.keyframe_every + 2
+        self.store = FrameStore(self.H, self.W, n_kf_rows,
+                                n_recent_rows=self.keyframe_every + 2)
+
+        self.start_frame_idx = 0
+        self.est_pose_all: Dict[int, np.ndarray] = self.dataset.est_pose_all
+        self._flow_cache = {}
+        self._key = jax.random.PRNGKey(seed)
+
+        if resumed:
+            self._restore(checkpoint)
+
+    # ------------------------------------------------------------------
+    def _load_pretrained_fine_mlp(self, path: str):
+        data = np.load(path)
+        lins = self.params["implicit"]["fine"]["lins"]
+        for i in range(len(lins)):
+            for k in list(lins[i].keys()):
+                key = f"fine_lin{i}_{k}"
+                if key in data:
+                    lins[i][k] = jnp.asarray(data[key])
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def log(self, *args):
+        if not self.quiet:
+            print(*args, flush=True)
+
+    # ------------------------------------------------------------------
+    def save_checkpoints(self, frame_idx: int):
+        ckpt.save_model(os.path.join(self.checkpoints_path, "ModelParameters"),
+                        self.params, self.voxels, frame_idx)
+        ckpt.save_optimizer(
+            os.path.join(self.checkpoints_path, "OptimizerParameters"),
+            self.opt_state, frame_idx)
+        ckpt.save_poses(os.path.join(self.checkpoints_path, "PoseParameters"),
+                        self.est_pose_all, self.dataset.gt_pose_all, frame_idx)
+
+    def _restore(self, checkpoint: str = "latest"):
+        mp = os.path.join(self.checkpoints_path, "ModelParameters")
+        if not os.path.exists(os.path.join(mp, f"{checkpoint}.npz")):
+            return
+        self.params, self.voxels, self.start_frame_idx = ckpt.load_model(
+            mp, self.params, checkpoint)
+        self.voxels = jnp.asarray(self.voxels)
+        self.opt_state = ckpt.load_optimizer(
+            os.path.join(self.checkpoints_path, "OptimizerParameters"),
+            self.opt_state, checkpoint)
+        est, gt, _ = ckpt.load_poses(
+            os.path.join(self.checkpoints_path, "PoseParameters"), checkpoint)
+        self.est_pose_all.update(est)
+        self.log(f"Resuming from frame_idx: {self.start_frame_idx}")
+
+    # ------------------------------------------------------------------
+    def _stage_frame(self, frame_idx: int):
+        if frame_idx in self.store:
+            return
+        data = self.dataset.frame(frame_idx)
+        self.store.put(
+            frame_idx,
+            rgb=data["rgb"], depth=data["depth"], normal=data["normal"],
+            gt_depth=data["gt_depth"], mask=data["mask"],
+            is_keyframe=(frame_idx % self.keyframe_every == 0))
+        self.dataset.clean(frame_idx)
+
+    # ------------------------------------------------------------------
+    def track(self, frame_idx: int) -> np.ndarray:
+        """Track one frame; returns est c2w (4x4 numpy)."""
+        gt_c2w = self.dataset.gt_pose_all[frame_idx]
+        if frame_idx == 0 or self.gt_cam:
+            self.est_pose_all[frame_idx] = np.asarray(gt_c2w)
+            return np.asarray(gt_c2w)
+
+        if self.const_speed and frame_idx - 2 >= 0:
+            delta = (self.est_pose_all[frame_idx - 1]
+                     @ np.linalg.inv(self.est_pose_all[frame_idx - 2]))
+            init_c2w = delta @ self.est_pose_all[frame_idx - 1]
+        else:
+            init_c2w = self.est_pose_all[frame_idx - 1]
+
+        init_q = jnp.asarray(tensor_from_camera_np(init_c2w))
+        self._stage_frame(frame_idx)
+        row = self.store.row(frame_idx)
+        K = jnp.asarray(self.dataset.intrinsics_all[frame_idx])
+
+        best_q, final_q, aux = track_frame(
+            self.scene_cfg, self.track_cfg, self.tracking_loss_cfg,
+            self.params, self.voxels, self.store.rgb[row], K, init_q,
+            self._next_key())
+        c2w = camera_from_tensor_np(np.asarray(best_q))
+        self.est_pose_all[frame_idx] = c2w
+        if self.verbose:
+            losses = np.asarray(aux["losses"])
+            gt_q = tensor_from_camera_np(gt_c2w)
+            bq = np.asarray(best_q)
+            err_t = float(np.linalg.norm(gt_q[4:] - bq[4:]))
+            self.log(f"[track {frame_idx}] loss {losses[0]:.4f}->"
+                     f"{losses[-1]:.4f} trans err {err_t:.4f}")
+        return c2w
+
+    # ------------------------------------------------------------------
+    def _prepare_refs(self, keyframe_list: List[int], edges) -> MapBatchRefs:
+        Smax = self.map_cfg.max_slots
+        Emax = self.map_cfg.max_edges
+        n = min(len(keyframe_list), Smax)
+        kfs = keyframe_list[:n]
+        for kf in kfs:
+            self._stage_frame(kf)
+        slot_rows = np.zeros((Smax,), np.int32)
+        frame_ids = np.zeros((Smax,), np.int32)
+        intr = np.tile(np.eye(4, dtype=np.float32)[None], (Smax, 1, 1))
+        for s, kf in enumerate(kfs):
+            slot_rows[s] = self.store.row(kf)
+            frame_ids[s] = kf
+            intr[s] = self.dataset.intrinsics_all[kf]
+
+        edge_idii = np.zeros((Emax,), np.int32)
+        edge_idjj = np.zeros((Emax,), np.int32)
+        edge_valid = np.zeros((Emax,), bool)
+        HW = self.total_pixels
+        flow_imgs = np.zeros((1, HW, 2), np.float16)
+        flow_occ = np.zeros((1, HW), bool)
+        use_flow = False
+        if edges is not None and self.loss_cfg.flow_weight > 0:
+            idii, idjj, ii, jj = edges
+            ne = min(len(idii), Emax)
+            fi = np.zeros((max(ne, 1), HW, 2), np.float16)
+            fo = np.zeros((max(ne, 1), HW), bool)
+            kept = 0
+            for e in range(ne):
+                i, j = int(ii[e]), int(jj[e])
+                try:
+                    flow, ok = self.dataset.flow_pair(i, j)
+                except (FileNotFoundError, AttributeError):
+                    continue
+                fi[kept] = flow.reshape(HW, 2).astype(np.float16)
+                fo[kept] = ok.reshape(HW)
+                edge_idii[kept] = int(idii[e])
+                edge_idjj[kept] = int(idjj[e])
+                edge_valid[kept] = True
+                kept += 1
+            if kept > 0:
+                use_flow = True
+                flow_imgs = fi[:max(kept, 1)]
+                flow_occ = fo[:max(kept, 1)]
+
+        self._use_flow = use_flow
+        return MapBatchRefs(
+            slot_rows=jnp.asarray(slot_rows),
+            frame_ids=jnp.asarray(frame_ids),
+            n_valid=jnp.asarray(n, jnp.int32),
+            intrinsics=jnp.asarray(intr),
+            edge_idii=jnp.asarray(edge_idii),
+            edge_idjj=jnp.asarray(edge_idjj),
+            edge_valid=jnp.asarray(edge_valid),
+            flow_imgs=jnp.asarray(flow_imgs),
+            flow_occ=jnp.asarray(flow_occ),
+        )
+
+    def map(self, frame_idx: int):
+        """One full mapping call (num_mapping_iters iterations)."""
+        Smax = self.map_cfg.max_slots
+        for mapping_iter in range(self.num_mapping_iters):
+            win = self.kf_selector.window(frame_idx, mapping_iter)
+            kfs = win.keyframe_list[:Smax]
+            ba = (self.enable_BA and frame_idx > 0
+                  and mapping_iter > int(self.num_mapping_iters * self.BA_ratio))
+
+            # refs change when the keyframe set changes (every iter for
+            # frame>=200 because the global draw is fresh each iteration)
+            refs = self._prepare_refs(kfs, win.edges)
+
+            poses_q = np.zeros((Smax, 7), np.float32)
+            poses_q[:, 0] = 1.0
+            for s, kf in enumerate(kfs):
+                if ba and kf == 0:
+                    src = self.dataset.gt_pose_all[kf]
+                else:
+                    src = self.est_pose_all.get(kf, self.dataset.gt_pose_all[kf])
+                poses_q[s] = tensor_from_camera_np(src)
+            poses_q = jnp.asarray(poses_q)
+
+            if frame_idx > 1:
+                stage = ("coarse" if mapping_iter < int(self.num_mapping_iters * 0.25)
+                         else "fine")
+                color_stage = ("base" if mapping_iter < int(self.num_mapping_iters * 0.7)
+                               else "highfreq")
+            else:
+                stage, color_stage = "fine", "highfreq"
+
+            (self.params, self.opt_state, self.voxels, new_poses_q,
+             terms) = map_step(
+                self.scene_cfg, self.map_cfg, self.loss_cfg,
+                self.params, self.opt_state, self.voxels, self.optimizer,
+                poses_q, refs,
+                self.store.rgb, self.store.depth, self.store.normal,
+                self.store.gt_depth, self.store.mask,
+                self._next_key(),
+                stage=stage, color_stage=color_stage, ba=ba,
+                is_first_frame=(frame_idx == 0), use_flow=self._use_flow)
+
+            if ba:
+                new_q = np.asarray(new_poses_q)
+                for s, kf in enumerate(kfs):
+                    if kf == 0:
+                        self.est_pose_all[kf] = np.asarray(
+                            self.dataset.gt_pose_all[kf])
+                    elif win.writeback_eligible[s]:
+                        self.est_pose_all[kf] = camera_from_tensor_np(new_q[s])
+
+            if self.verbose and mapping_iter % 20 == 0:
+                self.log(f"[map {frame_idx}:{mapping_iter}] "
+                         f"loss {float(terms['loss']):.4f} "
+                         f"rgb {float(terms['rgb_loss']):.4f} "
+                         f"eik {float(terms['eikonal_loss']):.4f}")
+        return terms
+
+    # ------------------------------------------------------------------
+    def run(self, vis_hook=None):
+        self.log("running...")
+        t0 = time.time()
+        frame_idx = self.start_frame_idx
+        for frame_idx in range(self.start_frame_idx, self.n_images):
+            if frame_idx % self.checkpoint_freq == 0 and frame_idx != 0:
+                self.save_checkpoints(frame_idx)
+
+            self.track(frame_idx)
+
+            if frame_idx % self.mapping_every_frame == 0:
+                self.map(frame_idx)
+                if (vis_hook is not None and frame_idx > 1
+                        and frame_idx % self.plot_freq == 0):
+                    vis_hook(self, frame_idx)
+
+            if not self.quiet and frame_idx % 10 == 0:
+                dt = time.time() - t0
+                self.log(f"frame {frame_idx}/{self.n_images} "
+                         f"({dt:.1f}s, {dt / max(frame_idx - self.start_frame_idx + 1, 1):.2f}s/frame)")
+
+        self.save_checkpoints(frame_idx)
+        if vis_hook is not None:
+            vis_hook(self, frame_idx)
+
+    # ------------------------------------------------------------------
+    def render_full_image(self, frame_idx: int, pose: Optional[np.ndarray] = None,
+                          chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Render a full frame in fixed-size ray chunks (split_n_pixels
+        equivalent, utils/general.py:169-185)."""
+        from .render import render_image
+
+        c2w = pose if pose is not None else self.est_pose_all.get(
+            frame_idx, self.dataset.gt_pose_all[frame_idx])
+        return render_image(
+            self.scene_cfg, self.params, self.voxels,
+            np.asarray(c2w), np.asarray(self.dataset.intrinsics_all[frame_idx]),
+            frame_idx=frame_idx, chunk=chunk or self.split_n_pixels,
+            key=self._next_key())

@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin overrides even the JAX_PLATFORMS env var; the config
+# update is the only override that sticks.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/nicer_slam_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

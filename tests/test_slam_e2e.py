@@ -1,0 +1,202 @@
+"""End-to-end SLAM integration test on a tiny synthetic scene.
+
+SURVEY.md §4 level (3): a short synthetic sequence with exact poses + cues;
+tracking must converge near GT and the full pipeline (tracking, mapping,
+flow staging, BA, checkpointing, full-image render, mesh) must run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+TINY_CONF = """
+SLAM {{
+    mapping {{
+        mapping_window_size = 6
+        BA = true
+        BA_ratio = 0.7
+        BA_cam_lr = 0.001
+        keyframe_every = 10
+        mapping_every_frame = 4
+        iters = {map_iters}
+    }}
+    tracking {{ gt_cam = false  lr = 0.01  iters = {track_iters}  Hedge = 0  Wedge = 0 }}
+}}
+train {{
+    expname = "tiny"
+    folder_suffix = "test"
+    dataset_class = "nicer_slam_tpu.datasets.scene_dataset.SLAMDataset"
+    lr_factor_for_coarse_grid = 20.0
+    lr_factor_for_fine_grid = 20.0
+    lr_factor_for_color_grid = 5.0
+    tracking_num_pixels = 192
+    checkpoint_freq = 8
+    plot_freq = 1000
+    learning_rate = 0.01
+    mapping_num_pixels = 512
+    split_n_pixels = 2048
+}}
+plot {{ plot_nimgs = 1  resolution = 64  grid_boundary = [ -1.0 1.0 ] }}
+loss {{
+    assign_scale_shift_init = true
+    assign_scale = 20.0
+    warp_loss_weight = 0.5
+    warp_loss_type = "l1"
+    rgb_loss = "torch.nn.L1Loss"
+    eikonal_weight = 0.1
+    smooth_weight = 0.005
+    depth_weight = 0.1
+    normal_l1_weight = 0.05
+    normal_cos_weight = 0.05
+    flow_weight = 0.001
+}}
+tracking_loss {{
+    rgb_loss = "torch.nn.L1Loss"
+    eikonal_weight = 0  smooth_weight = 0  depth_weight = 0
+    normal_l1_weight = 0  normal_cos_weight = 0
+}}
+dataset {{
+    data_dir = "{data_dir}"
+    img_res = [ {H} {W} ]
+    scan_id = 1
+    use_mask = false
+    use_gt_depth = true
+    n_images = {n_images}
+}}
+model {{
+    feature_vector_size = 16
+    scene_bounding_sphere = 1.0
+    use_warp_loss = true
+    mapping_patchsizes = [ 1 ]
+    tracking_patchsizes = [ 1 ]
+    sampling_method = "important"
+    density_method = "volsdf_gridpredefined"
+    implicit_network {{
+        coarse {{
+            d_in = 3  d_out = 1  dims = [ 32 ]
+            geometric_init = true  bias = 0.9  skip_in = []
+            weight_norm = true  multires = 6  inside_outside = true
+            use_grid_feature = true
+            base_size = 16  end_size = 16  logmap = 15
+            num_levels = 2  level_dim = 4  divide_factor = 1.0
+            embedding_method = "nerf"
+        }}
+        fine {{
+            d_in = 3  d_out = 1  dims = [ 32 32 ]
+            geometric_init = false  bias = 0.9  skip_in = []
+            weight_norm = true  multires = 6  inside_outside = true
+            use_grid_feature = true
+            base_size = 16  end_size = 64  logmap = 17
+            num_levels = 4  level_dim = 2  divide_factor = 1.0
+            embedding_method = "nerf"
+        }}
+    }}
+    rendering_network {{
+        mode = "idr"  d_in = 9  d_out = 3  dims = [ 32 32 ]
+        weight_norm = true  multires_view = 4
+        per_image_code = false  use_grid_feature = false
+    }}
+    density {{ params_init {{ beta = 0.1 }}  beta_min = 0.0001 }}
+    gridpredefinedensity {{}}
+    ray_sampler {{ near = 0.0  N_samples = 24  N_samples_eval = 96  N_samples_extra = 8 }}
+}}
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    from nicer_slam_tpu.datasets.synthetic import generate
+
+    root = tmp_path_factory.mktemp("tinyscene")
+    data_dir = str(root / "Synthetic")
+    generate(data_dir, scan_id=1, n_frames=9, H=60, W=80, world_scale=3.0,
+             keyframe_every=10, with_flow=True)
+    return data_dir
+
+
+@pytest.fixture(scope="module")
+def runner(tiny_scene, tmp_path_factory):
+    work = tmp_path_factory.mktemp("exp")
+    conf_path = str(work / "tiny.conf")
+    with open(conf_path, "w") as f:
+        f.write(TINY_CONF.format(data_dir=tiny_scene, H=60, W=80, n_images=9,
+                                 map_iters=12, track_iters=12))
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+
+    r = SLAMRunner(conf=conf_path, root_dir=str(work), quiet=True)
+    r.run()
+    return r
+
+
+def test_dataset_loads_synthetic(tiny_scene):
+    from nicer_slam_tpu.datasets.scene_dataset import SLAMDataset
+
+    ds = SLAMDataset(data_dir=tiny_scene, img_res=[60, 80], scan_id=1,
+                     use_gt_depth=True, n_images=9)
+    f0 = ds.frame(0)
+    assert f0["rgb"].shape == (4800, 3)
+    assert f0["normal"].shape == (4800, 3)
+    assert np.isfinite(f0["gt_depth"]).all()
+    # gt poses must be recovered exactly from cameras.npz decomposition
+    from nicer_slam_tpu.datasets.synthetic import camera_trajectory
+
+    gt = camera_trajectory(9)
+    for i in (0, 4, 8):
+        np.testing.assert_allclose(ds.gt_pose_all[i], gt[i], atol=1e-3)
+    # mono depth * assign_scale == cube-frame gt depth (anchor consistency)
+    np.testing.assert_allclose(f0["depth"] * 20.0, f0["gt_depth"], rtol=1e-2,
+                               atol=1e-2)
+    flow, ok = ds.flow_pair(0, 10) if os.path.exists(
+        os.path.join(ds.flow_dir, "0000_0010_flow.npy")) else (None, None)
+
+
+def test_runner_completes_and_checkpoints(runner):
+    assert len(runner.est_pose_all) == 9
+    ck = runner.checkpoints_path
+    for sub in ("ModelParameters", "OptimizerParameters", "PoseParameters"):
+        assert os.path.exists(os.path.join(ck, sub, "latest.npz")), sub
+    assert os.path.exists(os.path.join(runner.rundir, "runconf.conf"))
+
+
+def test_tracking_stays_near_gt(runner):
+    """With GT frame 0 and small motion, tracked poses should stay within a
+    loose bound of GT even after only a few mapping iters."""
+    errs = []
+    for i in range(1, 9):
+        est = runner.est_pose_all[i]
+        gt = runner.dataset.gt_pose_all[i]
+        errs.append(np.linalg.norm(est[:3, 3] - gt[:3, 3]))
+    # camera motion between frames is ~0.03; tracked error must be bounded
+    assert np.mean(errs) < 0.25, errs
+
+
+def test_full_image_render(runner):
+    out = runner.render_full_image(0)
+    assert out["rgb"].shape == (60, 80, 3)
+    assert np.isfinite(out["rgb"]).all()
+    assert np.isfinite(out["depth"]).all()
+
+
+def test_mesh_extraction(runner):
+    from nicer_slam_tpu.utils.plots import save_mesh
+    from nicer_slam_tpu.utils.ply import read_ply
+
+    path = save_mesh(runner, 8, resolution=48)
+    assert path is not None and os.path.exists(path)
+    mesh = read_ply(path)
+    assert mesh["verts"].shape[0] > 100
+    assert mesh["faces"].shape[0] > 100
+    assert "colors" in mesh
+
+
+def test_resume_from_checkpoint(runner, tiny_scene, tmp_path_factory):
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+
+    root = os.path.dirname(os.path.dirname(runner.expdir))
+    r2 = SLAMRunner(conf=runner.conf_path, root_dir=root, is_continue=True,
+                    quiet=True)
+    assert r2.start_frame_idx == 8
+    np.testing.assert_allclose(
+        np.asarray(r2.est_pose_all[4]), np.asarray(runner.est_pose_all[4]),
+        atol=1e-5)
