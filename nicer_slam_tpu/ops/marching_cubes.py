@@ -62,8 +62,13 @@ _TET_TABLE = _build_tet_table()
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
                         spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
-                        origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)):
+                        origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+                        valid: "np.ndarray | None" = None):
     """Extract the ``level`` isosurface of ``volume`` [Nx,Ny,Nz].
+
+    ``valid`` (optional bool [Nx,Ny,Nz]) marks observed voxels: cubes with
+    any unobserved corner are skipped (TSDF fusion uses this to suppress
+    phantom shells at observation boundaries).
 
     Returns (verts [V,3], faces [F,3], normals [V,3]). Vertices are
     deduplicated per interpolated edge. Normals are the negative normalized
@@ -78,11 +83,14 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     c = inside[:-1, :-1, :-1]
     any_in = np.zeros((nx, ny, nz), bool)
     all_in = np.ones((nx, ny, nz), bool)
+    all_valid = np.ones((nx, ny, nz), bool)
     for dx, dy, dz in _CUBE_CORNERS:
         s = inside[dx:dx + nx, dy:dy + ny, dz:dz + nz]
         any_in |= s
         all_in &= s
-    active = np.argwhere(any_in & ~all_in)  # [A,3]
+        if valid is not None:
+            all_valid &= valid[dx:dx + nx, dy:dy + ny, dz:dz + nz]
+    active = np.argwhere(any_in & ~all_in & all_valid)  # [A,3]
     if active.shape[0] == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.float32))
