@@ -89,18 +89,20 @@ def main():
             key, stage="fine", color_stage="highfreq", ba=False,
             is_first_frame=False, use_flow=False)
 
-    # warmup / compile
+    # warmup / compile. NOTE: timing must end with a device->host fetch —
+    # on the remote (axon) runtime block_until_ready returns before the
+    # execution has actually finished.
     key = jax.random.PRNGKey(0)
     params, opt_state, voxels, poses_q, terms = step(
         params, opt_state, voxels, poses_q, key)
-    jax.block_until_ready(terms["loss"])
+    float(terms["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, voxels, poses_q, terms = step(
             params, opt_state, voxels, poses_q, jax.random.fold_in(key, i))
-    jax.block_until_ready(terms["loss"])
+    float(terms["loss"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
 
     rays_per_sec = R * iters / dt

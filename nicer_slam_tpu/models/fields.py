@@ -238,6 +238,56 @@ def combine_gradient(cfg: CombineConfig, params: Dict[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# Packed inference path (gather-count-halved, bf16) for the no-grad sampler
+# prepass / meshing / eval. Matches the reference's fp16-forward regime
+# (hashgrid.py:15). NOT differentiable.
+# ---------------------------------------------------------------------------
+
+def pack_combine_tables(cfg: CombineConfig, params: Dict[str, Any]):
+    return {
+        "coarse": he.pack_table_bf16_pairs(params["coarse"]["encoding"]),
+        "fine": he.pack_table_bf16_pairs(params["fine"]["encoding"]),
+    }
+
+
+def _implicit_forward_packed(cfg: ImplicitNetConfig, params, packed,
+                             x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.use_grid_feature:
+        feature = he.hash_encode_packed(cfg.hash_spec(), packed,
+                                        x / cfg.divide_factor)
+    else:
+        feature = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), x.dtype)
+    if cfg.multires > 0:
+        embed = positional_encoding(x, cfg.multires)
+        h = jnp.concatenate([embed, feature], axis=-1)
+    else:
+        h = jnp.concatenate([x, feature], axis=-1)
+    num_layers = len(cfg.layer_dims)
+    inp = h
+    for l in range(num_layers - 1):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2.0)
+        h = linear_apply(params["lins"][l], h)
+        if l < num_layers - 2:
+            h = softplus_beta100(h)
+    if cfg.clamp and cfg.name == "fine":
+        return jnp.tanh(h[:, :1]) * 0.05
+    return h[:, :1]
+
+
+def combine_sdf_packed(cfg: CombineConfig, params: Dict[str, Any],
+                       packed, x: jnp.ndarray,
+                       stage: str = "fine") -> jnp.ndarray:
+    """SDF-only inference using packed tables ([N] output)."""
+    s = _implicit_forward_packed(cfg.coarse, params["coarse"],
+                                 packed["coarse"], x)[:, 0]
+    if stage == "coarse":
+        return s
+    return s + _implicit_forward_packed(cfg.fine, params["fine"],
+                                        packed["fine"], x)[:, 0]
+
+
+# ---------------------------------------------------------------------------
 # Rendering (color) network (base_networks.py:241-405)
 # ---------------------------------------------------------------------------
 

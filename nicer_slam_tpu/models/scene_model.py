@@ -148,9 +148,19 @@ def render_rays(
     ray_dirs, cam_loc, depth_scale = rays_from_uv(batch.uv, c2w, K)
 
     # hierarchical sampling: no-grad prepass always uses the fine stage
-    # (ray_sampler.py:102 calls get_sdf_vals with the default stage)
-    def sdf_prepass(pts):
-        return fields.combine_sdf(cfg.combine, params["implicit"], pts, "fine")[:, 0]
+    # (ray_sampler.py:102 calls get_sdf_vals with the default stage).
+    # The prepass is stop_gradient'ed, so it uses the packed-bf16 inference
+    # encoder (2x fewer gathers — the dominant cost; see hash_encoder.py).
+    if not (cfg.combine.fine.concat_coarse_feature):
+        packed_tables = fields.pack_combine_tables(cfg.combine, params["implicit"])
+
+        def sdf_prepass(pts):
+            return fields.combine_sdf_packed(cfg.combine, params["implicit"],
+                                             packed_tables, pts, "fine")
+    else:
+        def sdf_prepass(pts):
+            return fields.combine_sdf(cfg.combine, params["implicit"],
+                                      pts, "fine")[:, 0]
 
     def density_prepass(sdf, pts):
         return _density(cfg, params, voxels, sdf, pts)

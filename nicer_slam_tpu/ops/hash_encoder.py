@@ -181,8 +181,14 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
     corners = jnp.asarray(_corner_offsets(D))          # [2^D, D]
     u_t = u.T                                          # [D, N]
 
-    emb_t = embeddings                                 # [C, T] (native layout)
     C = spec.level_dim
+    T = spec.total_entries
+    # flattened (channel, entry) indexing: the gather output is exactly
+    # index-shaped [C, 2^D, N] with the big axis minor — XLA's vector-row
+    # gather would materialize an [2^D·N, C] intermediate whose tiny C gets
+    # lane-padded to 128 (16-64x HBM blowup).
+    emb_flat = embeddings.reshape(-1)                  # [C*T]
+    chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
 
     outs = []
     for lvl in range(spec.num_levels):
@@ -196,7 +202,7 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
 
         corner_xyz = left_i[None, :, :] + corners[:, :, None]      # [2^D,D,N]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D, N]
-        vals = emb_t[:, rows]                                      # [C,2^D,N]
+        vals = emb_flat[rows[None, :, :] + chan_off]               # [C,2^D,N]
         # weight per corner = prod over dims of (wb if bit else wa)
         w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
         for d in range(D):
@@ -229,6 +235,79 @@ def _level_indices_t(spec: HashGridSpec, lvl: int,
             idx = idx ^ (c[:, d, :] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
         idx = idx % jnp.uint32(size)
     return (idx + jnp.uint32(spec.offsets[lvl])).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Packed inference path (no autodiff): 2x fewer gathers.
+#
+# TPU gathers are ELEMENT-bound (~9 ns/scalar regardless of dtype), and the
+# encoder's cost is N·2^D·L·C gathered scalars — the dominant cost of the
+# whole SLAM step (the 640-sample no-grad prepass alone is ~75% of it).
+# Packing two bf16 channels into one uint32 halves the gather count. The
+# reference runs its forward in fp16 anyway (hashgrid.py:15 casts to half),
+# so bf16 table values match its precision regime. Used only where no
+# gradients flow (the stop_gradient'ed sampler prepass, meshing, eval).
+# ---------------------------------------------------------------------------
+
+def pack_table_bf16_pairs(embeddings: jnp.ndarray) -> jnp.ndarray:
+    """[C, T] f32 -> [C//2, T] uint32 (channel pairs as packed bf16)."""
+    u16 = jax.lax.bitcast_convert_type(
+        embeddings.astype(jnp.bfloat16), jnp.uint16)
+    hi = u16[0::2].astype(jnp.uint32) << 16
+    lo = u16[1::2].astype(jnp.uint32)
+    return hi | lo
+
+
+def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
+                       x: jnp.ndarray, size: float = 1.0) -> jnp.ndarray:
+    """Inference-only encode from a pack_table_bf16_pairs table.
+
+    NOT differentiable (bitcasts); callers must be under stop_gradient.
+    """
+    D = spec.input_dim
+    assert spec.level_dim % 2 == 0
+    Ch = spec.level_dim // 2
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, D)
+    N = x.shape[0]
+    u = (x + size) / (2.0 * size)
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)
+    corners = jnp.asarray(_corner_offsets(D))
+    u_t = u.T
+
+    T = spec.total_entries
+    flat = packed.reshape(-1)
+    chan_off = (jnp.arange(Ch, dtype=jnp.int32) * T)[:, None, None]
+
+    outs = []
+    for lvl in range(spec.num_levels):
+        scale = spec.scales[lvl]
+        pos = u_t * scale
+        left = jnp.floor(pos)
+        f = pos - left
+        wb = f * f * (3.0 - 2.0 * f)
+        wa = 1.0 - wb
+        left_i = left.astype(jnp.int32)
+        corner_xyz = left_i[None, :, :] + corners[:, :, None]
+        rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D,N]
+        v = flat[rows[None, :, :] + chan_off]                      # [Ch,2^D,N]
+        hi = jax.lax.bitcast_convert_type(
+            (v >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        lo = jax.lax.bitcast_convert_type(
+            (v & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+            jnp.bfloat16).astype(jnp.float32)
+        w = jnp.ones((corners.shape[0], N), dtype=jnp.float32)
+        for d in range(D):
+            bit = corners[:, d:d + 1]
+            w = w * jnp.where(bit == 1, wb[d][None, :], wa[d][None, :])
+        out_hi = (w[None] * hi).sum(axis=1)                        # [Ch, N]
+        out_lo = (w[None] * lo).sum(axis=1)
+        # interleave back to channel order [c0, c1, c2, ...]
+        out = jnp.stack([out_hi, out_lo], axis=1).reshape(spec.level_dim, N)
+        outs.append(out)
+    feats = jnp.concatenate(outs, axis=0)
+    feats = jnp.where(oob[None, :], 0.0, feats)
+    return feats.T.reshape(*prefix, spec.output_dim)
 
 
 # ---------------------------------------------------------------------------
