@@ -61,6 +61,8 @@ def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneC
         N_samples_eval=rs.get_int("N_samples_eval", 640),
         N_samples_extra=rs.get_int("N_samples_extra", 32),
         prepass_ray_chunk=rs.get_int("prepass_ray_chunk", 1024),
+        prepass_mode=rs.get_string("prepass_mode", "cached"),
+        prepass_cache_res=rs.get_int("prepass_cache_res", 128),
     )
     patchsizes = model_conf.get_list("mapping_patchsizes", [1])
     return SceneConfig(
@@ -91,6 +93,27 @@ def init_scene_params(rng, cfg: SceneConfig) -> Dict[str, Any]:
 
 def init_voxels(cfg: SceneConfig) -> jnp.ndarray:
     return jnp.zeros((cfg.voxel_res,) * 3, dtype=jnp.float32)
+
+
+def build_density_cache(cfg: SceneConfig, params: Dict[str, Any],
+                        voxels: jnp.ndarray) -> jnp.ndarray:
+    """Dense prepass-density volume [res^3]: full-network SDF (packed-bf16
+    inference) + the voxel-counter beta, evaluated on a uniform grid. The
+    importance sampler reads this with one gather per sample (prepass_mode
+    "cached"); refreshed periodically by the runner."""
+    res = cfg.sampler.prepass_cache_res
+    xs = jnp.linspace(-1.0, 1.0, res)
+    grid = jnp.stack(jnp.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    packed = fields.pack_combine_tables(cfg.combine, params["implicit"])
+
+    def chunk_fn(pts):
+        sdf = fields.combine_sdf_packed(cfg.combine, params["implicit"],
+                                        packed, pts, "fine")
+        return _density(cfg, params, voxels, sdf, pts)
+
+    n_chunks = 16
+    out = jax.lax.map(chunk_fn, grid.reshape(n_chunks, -1, 3))
+    return out.reshape(-1)
 
 
 class RayBatch(NamedTuple):
@@ -134,6 +157,7 @@ def render_rays(
     is_mapping: bool = False,
     edges: Optional[FlowEdges] = None,
     full_rgb: Optional[jnp.ndarray] = None,   # [S, H*W, 3] float in [0,1]
+    density_cache: Optional[jnp.ndarray] = None,  # [res^3] prepass density
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass over a flat ray batch (network.py:78-347 equivalent).
 
@@ -149,21 +173,36 @@ def render_rays(
 
     # hierarchical sampling: no-grad prepass always uses the fine stage
     # (ray_sampler.py:102 calls get_sdf_vals with the default stage).
-    # The prepass is stop_gradient'ed, so it uses the packed-bf16 inference
-    # encoder (2x fewer gathers — the dominant cost; see hash_encoder.py).
-    if not (cfg.combine.fine.concat_coarse_feature):
-        packed_tables = fields.pack_combine_tables(cfg.combine, params["implicit"])
+    # Modes (SamplerConfig.prepass_mode):
+    #   cached — one nearest-neighbor read per sample from a periodically
+    #            refreshed dense density volume (density_cache)
+    #   exact  — full-network prepass via the packed-bf16 inference encoder
+    if density_cache is not None and cfg.sampler.prepass_mode == "cached":
+        res = cfg.sampler.prepass_cache_res
 
         def sdf_prepass(pts):
-            return fields.combine_sdf_packed(cfg.combine, params["implicit"],
-                                             packed_tables, pts, "fine")
+            return jnp.zeros((pts.shape[0],), pts.dtype)  # unused
+
+        def density_prepass(sdf, pts):
+            u = jnp.clip((pts + 1.0) * (0.5 * res), 0, res - 1).astype(jnp.int32)
+            flat = (u[:, 0] * res + u[:, 1]) * res + u[:, 2]
+            inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
+            return jnp.where(inb, density_cache[flat], 0.0)
     else:
-        def sdf_prepass(pts):
-            return fields.combine_sdf(cfg.combine, params["implicit"],
-                                      pts, "fine")[:, 0]
+        if not cfg.combine.fine.concat_coarse_feature:
+            packed_tables = fields.pack_combine_tables(cfg.combine,
+                                                       params["implicit"])
 
-    def density_prepass(sdf, pts):
-        return _density(cfg, params, voxels, sdf, pts)
+            def sdf_prepass(pts):
+                return fields.combine_sdf_packed(
+                    cfg.combine, params["implicit"], packed_tables, pts, "fine")
+        else:
+            def sdf_prepass(pts):
+                return fields.combine_sdf(cfg.combine, params["implicit"],
+                                          pts, "fine")[:, 0]
+
+        def density_prepass(sdf, pts):
+            return _density(cfg, params, voxels, sdf, pts)
 
     pc = cfg.sampler.prepass_ray_chunk
     if pc and R > pc and R % pc == 0:

@@ -31,6 +31,14 @@ class SamplerConfig(NamedTuple):
     # rays per sequential prepass chunk (lax.map): bounds the peak HBM of
     # the 640-sample no-grad SDF prepass (N_eval x R points). 0 = no chunking.
     prepass_ray_chunk: int = 1024
+    # "exact": evaluate the full SDF network for every prepass sample (the
+    # reference's behavior, ray_sampler.py:100-112). "cached": read a
+    # periodically refreshed dense density cache — ONE gather per sample
+    # instead of ~256, the difference between ~10s and ~0.3s per mapping
+    # iteration on TPU (the prepass only PLACES samples; the main pass
+    # still evaluates the exact network at the chosen z).
+    prepass_mode: str = "cached"
+    prepass_cache_res: int = 128
 
     @property
     def far(self) -> float:

@@ -82,6 +82,7 @@ def map_step(
     store_gt_depth: jnp.ndarray, # [C, HW] f16
     store_mask: jnp.ndarray,     # [C, HW] bool
     key: jax.Array,
+    density_cache: Optional[jnp.ndarray] = None,
     *,
     stage: str,
     color_stage: str,
@@ -142,7 +143,8 @@ def map_step(
         out = sm.render_rays(
             scene_cfg, p, voxels, batch, k_render,
             stage=stage, color_stage=color_stage, training=True,
-            is_mapping=True, edges=edges, full_rgb=full_rgb_u8)
+            is_mapping=True, edges=edges, full_rgb=full_rgb_u8,
+            density_cache=density_cache)
         terms = compute_losses(
             loss_cfg, out, gt, batch, stage=stage,
             is_first_frame=is_first_frame, num_slots=Smax,

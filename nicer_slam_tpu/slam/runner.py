@@ -217,6 +217,12 @@ class SLAMRunner:
         self.est_pose_all: Dict[int, np.ndarray] = self.dataset.est_pose_all
         self._flow_cache = {}
         self._key = jax.random.PRNGKey(seed)
+        self.prepass_refresh = c.get_int("model.ray_sampler.prepass_cache_refresh", 10)
+        self.density_cache = None
+        if self.scene_cfg.sampler.prepass_mode == "cached":
+            self._refresh_cache = jax.jit(
+                lambda p, v: sm.build_density_cache(self.scene_cfg, p, v))
+            self.density_cache = self._refresh_cache(self.params, self.voxels)
 
         if resumed:
             self._restore(checkpoint)
@@ -299,7 +305,7 @@ class SLAMRunner:
         best_q, final_q, aux = track_frame(
             self.scene_cfg, self.track_cfg, self.tracking_loss_cfg,
             self.params, self.voxels, self.store.rgb[row], K, init_q,
-            self._next_key())
+            self._next_key(), self.density_cache)
         c2w = camera_from_tensor_np(np.asarray(best_q))
         self.est_pose_all[frame_idx] = c2w
         if self.verbose:
@@ -401,6 +407,10 @@ class SLAMRunner:
             else:
                 stage, color_stage = "fine", "highfreq"
 
+            if (self.density_cache is not None
+                    and mapping_iter % self.prepass_refresh == 0):
+                self.density_cache = self._refresh_cache(self.params,
+                                                         self.voxels)
             (self.params, self.opt_state, self.voxels, new_poses_q,
              terms) = map_step(
                 self.scene_cfg, self.map_cfg, self.loss_cfg,
@@ -408,7 +418,7 @@ class SLAMRunner:
                 poses_q, refs,
                 self.store.rgb, self.store.depth, self.store.normal,
                 self.store.gt_depth, self.store.mask,
-                self._next_key(),
+                self._next_key(), self.density_cache,
                 stage=stage, color_stage=color_stage, ba=ba,
                 is_first_frame=(frame_idx == 0), use_flow=self._use_flow)
 

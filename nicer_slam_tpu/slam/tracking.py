@@ -62,6 +62,7 @@ def track_frame(
     intrinsics: jnp.ndarray,      # [4,4]
     init_q: jnp.ndarray,          # [7] qw qx qy qz tx ty tz
     key: jax.Array,
+    density_cache=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (best_q, final_q, aux) — aux has per-iter losses."""
     H, W = scene_cfg.H, scene_cfg.W
@@ -90,7 +91,7 @@ def track_frame(
             out = sm.render_rays(
                 scene_cfg, params, voxels, batch, k_render,
                 stage="fine", color_stage="highfreq", training=True,
-                is_mapping=False)
+                is_mapping=False, density_cache=density_cache)
             gt = {
                 "rgb": gt_rgb,
                 "depth": jnp.zeros((R, 1)),
