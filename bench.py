@@ -6,10 +6,11 @@ second-order gradients, color net, 9-term loss, and 6-group Adam — and
 reports sustained rays/sec on one chip.
 
 Baseline derivation (BASELINE.md): the reference's 200-frame demo takes
-~30 min on a ~24GB GPU (README.md:151). Per demo config that is
-200 frames x 100 track iters x 1024 rays + 40 mapping calls x 100 iters x
-4096 rays = 36.9M rays in 1800 s ≈ 20.5k rays/s. We use the same
-all-in (tracking+mapping mix) definition: vs_baseline = ours / 20500.
+~30 min on a ~24GB GPU (README.md:151). Per the demo config
+(runconf_demo_1.conf: 30 tracking + 30 mapping iters) that is
+200 frames x 30 track iters x 1024 rays + 40 mapping calls x 30 iters x
+4096 rays = 11.1M rays in 1800 s ≈ 6.2k rays/s all-in:
+vs_baseline = ours / 6200.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +22,7 @@ import os
 import sys
 import time
 
-REFERENCE_RAYS_PER_SEC = 20500.0
+REFERENCE_RAYS_PER_SEC = 6200.0
 
 
 def main():
@@ -81,13 +82,19 @@ def main():
         flow_occ=jnp.zeros((4, HW), bool),
     )
 
+    from nicer_slam_tpu.models.scene_model import build_density_cache
+
+    cache_fn = jax.jit(lambda p, v: build_density_cache(scene_cfg, p, v))
+    density_cache = cache_fn(params, voxels)
+    refresh = int(os.environ.get("BENCH_CACHE_REFRESH", "10"))
+
     def step(params, opt_state, voxels, poses_q, key):
         return map_step(
             scene_cfg, map_cfg, loss_cfg, params, opt_state, voxels,
             optimizer, poses_q, refs,
             store_rgb, store_depth, store_normal, store_gt_depth, store_mask,
-            key, stage="fine", color_stage="highfreq", ba=False,
-            is_first_frame=False, use_flow=False)
+            key, density_cache, stage="fine", color_stage="highfreq",
+            ba=False, is_first_frame=False, use_flow=False)
 
     # warmup / compile. NOTE: timing must end with a device->host fetch —
     # on the remote (axon) runtime block_until_ready returns before the
@@ -100,6 +107,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
+        if i % refresh == 0:
+            density_cache = cache_fn(params, voxels)
         params, opt_state, voxels, poses_q, terms = step(
             params, opt_state, voxels, poses_q, jax.random.fold_in(key, i))
     float(terms["loss"])  # forces the whole dependent chain
