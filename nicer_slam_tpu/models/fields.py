@@ -385,9 +385,18 @@ def rendering_forward(cfg: RenderingNetConfig, params: Dict[str, Any],
     parts = []
     grid_feature = None
     if cfg.use_grid_feature:
-        grid_feature = he.hash_encode(cfg.hash_spec(), params["encoding"], points)
         if color_stage == "base":
+            # the base stage DETACHES the color grid (base_networks.py:
+            # 336-339) — no gradients flow, so use the packed-bf16 encode
+            # (half the gathers; the color grid is the single largest table)
+            packed = he.pack_table_bf16_pairs(
+                jax.lax.stop_gradient(params["encoding"]))
+            grid_feature = he.hash_encode_packed(cfg.hash_spec(), packed,
+                                                 points)
             grid_feature = jax.lax.stop_gradient(grid_feature)
+        else:
+            grid_feature = he.hash_encode(cfg.hash_spec(), params["encoding"],
+                                          points)
 
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
