@@ -101,10 +101,16 @@ class SLAMRunner:
         resolved_timestamp = None
         resumed = False
         if is_continue and timestamp == "latest":
+            # newest run dir that actually has a checkpoint — an aborted run
+            # leaves an empty timestamp dir that must not win "latest"
             stamps = sorted(os.listdir(self.expdir)) if os.path.isdir(self.expdir) else []
-            if stamps:
-                resolved_timestamp = stamps[-1]
-                resumed = True
+            for stamp in reversed(stamps):
+                if os.path.exists(os.path.join(
+                        self.expdir, stamp, "checkpoints", "ModelParameters",
+                        "latest.npz")):
+                    resolved_timestamp = stamp
+                    resumed = True
+                    break
         elif is_continue:
             resolved_timestamp = timestamp
             resumed = True
