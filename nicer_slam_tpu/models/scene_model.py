@@ -236,10 +236,13 @@ def render_rays(
 
     dirs_flat = jnp.broadcast_to(ray_dirs[:, None, :], points.shape).reshape(-1, 3)
 
-    # remat the per-point field evals: the second-order backward otherwise
-    # stores multi-GB gather residuals (recompute is ~free next to HBM)
+    # remat the per-point field evals, but SAVE the hashed-level gather
+    # results (plain remat would re-gather in every backward pass — gathers
+    # are the cost, recomputing math is free; see hash_encoder.py)
+    _policy = jax.checkpoint_policies.save_only_these_names("hash_gather")
     get_outputs_ckpt = jax.checkpoint(
-        lambda p, x: fields.combine_get_outputs(cfg.combine, p, x, stage))
+        lambda p, x: fields.combine_get_outputs(cfg.combine, p, x, stage),
+        policy=_policy)
     sdf, feature_vectors, gradients = get_outputs_ckpt(
         params["implicit"], points_flat)
 
@@ -250,7 +253,8 @@ def render_rays(
     render_fwd_ckpt = jax.checkpoint(
         lambda p, pts, g, d, f, idx: fields.rendering_forward(
             cfg.render, p, pts, g, d, f, image_indices=idx,
-            color_stage=color_stage))
+            color_stage=color_stage),
+        policy=_policy)
     rgb_flat = render_fwd_ckpt(params["render"], points_flat, gradients,
                                dirs_flat, feature_vectors, point_frame_ids)
     if cfg.render.model_exposure:
@@ -341,8 +345,8 @@ def render_rays(
         neighbours = eik_pts + (jax.random.uniform(k_eik_nei, eik_pts.shape) - 0.5) * 0.01
         all_pts = jnp.concatenate([eik_pts, neighbours], axis=0)
         grad_theta = jax.checkpoint(
-            lambda p, x: fields.combine_gradient(cfg.combine, p, x, stage))(
-            params["implicit"], all_pts)
+            lambda p, x: fields.combine_gradient(cfg.combine, p, x, stage),
+            policy=_policy)(params["implicit"], all_pts)
         half = all_pts.shape[0] // 2
         out["grad_theta"] = grad_theta[:half]
         out["grad_theta_nei"] = grad_theta[half:]

@@ -207,6 +207,9 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
         corner_xyz = left_i[None, :, :] + corners[:, :, None]      # [2^D,D,N]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D, N]
         vals = emb_flat[rows[None, :, :] + chan_off]               # [C,2^D,N]
+        # tag for remat policy: hashed-level gathers are the expensive op —
+        # scene_model's jax.checkpoint saves these and recomputes the rest
+        vals = jax.ad_checkpoint.checkpoint_name(vals, "hash_gather")
         # weight per corner = prod over dims of (wb if bit else wa)
         w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
         for d in range(D):
