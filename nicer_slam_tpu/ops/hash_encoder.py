@@ -32,6 +32,7 @@ from typing import NamedTuple, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 # primes from hashencoder.cu:43 (dim 0 uses 1 for memory coherence)
 _PRIMES = (1, 2654435761, 805459861)
@@ -209,7 +210,7 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
         vals = emb_flat[rows[None, :, :] + chan_off]               # [C,2^D,N]
         # tag for remat policy: hashed-level gathers are the expensive op —
         # scene_model's jax.checkpoint saves these and recomputes the rest
-        vals = jax.ad_checkpoint.checkpoint_name(vals, "hash_gather")
+        vals = _checkpoint_name(vals, "hash_gather")
         # weight per corner = prod over dims of (wb if bit else wa)
         w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
         for d in range(D):
