@@ -33,6 +33,7 @@ from .keyframes import KeyframeConfig, KeyframeSelector
 from .mapping import MapBatchRefs, MapConfig, map_step
 from .state import OptimConfig, make_optimizer
 from .tracking import TrackConfig, track_frame
+from ..utils.profiling import PhaseTimer
 
 
 def get_class(path: str):
@@ -223,6 +224,7 @@ class SLAMRunner:
         self.est_pose_all: Dict[int, np.ndarray] = self.dataset.est_pose_all
         self._flow_cache = {}
         self._key = jax.random.PRNGKey(seed)
+        self.timer = PhaseTimer()
         self.prepass_refresh = c.get_int("model.ray_sampler.prepass_cache_refresh", 10)
         self.density_cache = None
         if self.scene_cfg.sampler.prepass_mode == "cached":
@@ -308,10 +310,12 @@ class SLAMRunner:
         row = self.store.row(frame_idx)
         K = jnp.asarray(self.dataset.intrinsics_all[frame_idx])
 
-        best_q, final_q, aux = track_frame(
-            self.scene_cfg, self.track_cfg, self.tracking_loss_cfg,
-            self.params, self.voxels, self.store.rgb[row], K, init_q,
-            self._next_key(), self.density_cache)
+        with self.timer.phase("tracking") as box:
+            best_q, final_q, aux = track_frame(
+                self.scene_cfg, self.track_cfg, self.tracking_loss_cfg,
+                self.params, self.voxels, self.store.rgb[row], K, init_q,
+                self._next_key(), self.density_cache)
+            box["sync"] = aux["best_loss"]
         c2w = camera_from_tensor_np(np.asarray(best_q))
         self.est_pose_all[frame_idx] = c2w
         if self.verbose:
@@ -384,6 +388,12 @@ class SLAMRunner:
 
     def map(self, frame_idx: int):
         """One full mapping call (num_mapping_iters iterations)."""
+        with self.timer.phase("mapping") as box:
+            terms = self._map_impl(frame_idx)
+            box["sync"] = terms["loss"]
+        return terms
+
+    def _map_impl(self, frame_idx: int):
         Smax = self.map_cfg.max_slots
         for mapping_iter in range(self.num_mapping_iters):
             win = self.kf_selector.window(frame_idx, mapping_iter)
@@ -468,7 +478,9 @@ class SLAMRunner:
 
         self.save_checkpoints(frame_idx)
         if vis_hook is not None:
-            vis_hook(self, frame_idx)
+            with self.timer.phase("vis"):
+                vis_hook(self, frame_idx)
+        self.log("phase timings: " + self.timer.report())
 
     # ------------------------------------------------------------------
     def render_full_image(self, frame_idx: int, pose: Optional[np.ndarray] = None,
