@@ -28,10 +28,11 @@ def sample_mesh_points(verts: np.ndarray, faces: np.ndarray, n: int,
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
-    cross = np.cross(v1 - v0, v2 - v0)
+    cross = np.cross((v1 - v0).astype(np.float64), (v2 - v0).astype(np.float64))
     area = 0.5 * np.linalg.norm(cross, axis=-1)
-    fn = cross / (np.linalg.norm(cross, axis=-1, keepdims=True) + 1e-12)
-    p = area / max(area.sum(), 1e-12)
+    fn = cross / (np.linalg.norm(cross, axis=-1, keepdims=True) + 1e-30)
+    p = area / max(area.sum(), 1e-30)
+    p = p / p.sum()  # exact normalization for rng.choice
     fi = rng.choice(len(faces), size=n, p=p)
     r1 = np.sqrt(rng.uniform(size=(n, 1)))
     r2 = rng.uniform(size=(n, 1))

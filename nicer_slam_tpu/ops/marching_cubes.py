@@ -145,13 +145,11 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     flat = tri_pts.reshape(-1, 3)
     keys = np.round(flat * 1024.0).astype(np.int64)
     uniq, idx = np.unique(keys, axis=0, return_inverse=True)
-    # representative coordinates: first occurrence
-    first = np.zeros(uniq.shape[0], np.int64)
-    seen = np.full(uniq.shape[0], -1, np.int64)
+    # representative coordinates: first occurrence per unique key
+    seen = np.full(uniq.shape[0], flat.shape[0], np.int64)
     order = np.arange(flat.shape[0])
     np.minimum.at(seen, idx, order)
-    first = seen
-    verts_grid = flat[first]
+    verts_grid = flat[seen]
     faces = idx.reshape(-1, 3)
 
     # drop degenerate faces

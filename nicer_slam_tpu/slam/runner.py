@@ -165,15 +165,31 @@ class SLAMRunner:
                     break
         if os.path.exists(pretrain):
             self._load_pretrained_fine_mlp(pretrain)
-        elif not self.scene_cfg.combine.fine.geometric_init:
+            self.log(f"loaded pretrained fine MLP: {pretrain}")
+        else:
+            # geometric init for the (frozen) fine decoder. CRITICAL detail:
+            # plain geometric init zeroes the first layer's grid-feature
+            # columns (base_networks.py:138) — with the fine MLP frozen
+            # (volsdf_train.py:150-174 excludes it from the optimizer) the
+            # fine grid would be permanently dead. A pretrained decoder has
+            # live grid columns; the fallback re-initializes them small.
             from ..models.fields import init_implicit_net
 
-            fine_geo = self.scene_cfg.combine.fine._replace(geometric_init=True)
-            geo_params = init_implicit_net(np.random.default_rng(seed + 1),
-                                           fine_geo)
+            fine_cfg = self.scene_cfg.combine.fine._replace(geometric_init=True)
+            rng_fb = np.random.default_rng(seed + 1)
+            geo_params = init_implicit_net(rng_fb, fine_cfg)
+            lin0 = geo_params["lins"][0]
+            v = np.array(lin0["v"])  # writable copy
+            n_pe = 3 * (1 + 2 * fine_cfg.multires)
+            v[:, n_pe:] = rng_fb.normal(
+                0.0, 0.05, v[:, n_pe:].shape).astype(np.float32)
+            lin0["v"] = jnp.asarray(v)
+            if "g" in lin0:
+                lin0["g"] = jnp.asarray(
+                    np.linalg.norm(v, axis=1, keepdims=True).astype(np.float32))
             self.params["implicit"]["fine"]["lins"] = geo_params["lins"]
-            self.log("[warn] no pretrain.npz found — using geometric init "
-                     "for the fine SDF MLP")
+            self.log("[warn] no pretrain.npz found — geometric fine-MLP "
+                     "fallback (live grid columns)")
 
         # ---- losses (mapping + tracking instances, volsdf_train.py:117-130)
         full_depth_mask = ("Replica" in c.get_string("dataset.data_dir")
