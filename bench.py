@@ -115,6 +115,36 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = R * iters / dt
+
+    # secondary metric (stderr, keeps the one-JSON-line stdout contract):
+    # tracking ms/iter — BASELINE.md's second north-star number
+    try:
+        from nicer_slam_tpu.models.losses import LossConfig
+        from nicer_slam_tpu.slam.tracking import TrackConfig, track_frame
+        from nicer_slam_tpu.utils.camera import tensor_from_camera_np
+
+        tr_iters = 20
+        tcfg = TrackConfig(num_iters=tr_iters, num_pixels=1024, cam_lr=5e-3)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -0.3
+        q0 = jnp.asarray(tensor_from_camera_np(pose))
+        rgb0 = store_rgb[0]
+        best_q, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                                     voxels, rgb0, jnp.asarray(K), q0,
+                                     jax.random.PRNGKey(1), density_cache)
+        float(aux["best_loss"])
+        t0 = time.perf_counter()
+        best_q, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                                     voxels, rgb0, jnp.asarray(K), q0,
+                                     jax.random.PRNGKey(2), density_cache)
+        float(aux["best_loss"])
+        tdt = (time.perf_counter() - t0) / tr_iters * 1000
+        print(json.dumps({"metric": "tracking_ms_per_iter",
+                          "value": round(tdt, 1), "unit": "ms"}),
+              file=sys.stderr)
+    except Exception as e:  # secondary metric must never break the bench
+        print(f"tracking bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "mapping_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

@@ -163,10 +163,12 @@ class SLAMRunner:
                 if os.path.exists(cand):
                     pretrain = cand
                     break
+        loaded_pretrain = False
         if os.path.exists(pretrain):
-            self._load_pretrained_fine_mlp(pretrain)
-            self.log(f"loaded pretrained fine MLP: {pretrain}")
-        else:
+            loaded_pretrain = self._load_pretrained_fine_mlp(pretrain)
+            if loaded_pretrain:
+                self.log(f"loaded pretrained fine MLP: {pretrain}")
+        if not loaded_pretrain:
             # geometric init for the (frozen) fine decoder. CRITICAL detail:
             # plain geometric init zeroes the first layer's grid-feature
             # columns (base_networks.py:138) — with the fine MLP frozen
@@ -255,11 +257,20 @@ class SLAMRunner:
     def _load_pretrained_fine_mlp(self, path: str):
         data = np.load(path)
         lins = self.params["implicit"]["fine"]["lins"]
+        loaded = 0
         for i in range(len(lins)):
             for k in list(lins[i].keys()):
                 key = f"fine_lin{i}_{k}"
                 if key in data:
+                    if data[key].shape != np.asarray(lins[i][k]).shape:
+                        self.log(f"[warn] pretrain {key} shape "
+                                 f"{data[key].shape} != model "
+                                 f"{np.asarray(lins[i][k]).shape}; skipping "
+                                 f"pretrain (keeping current init)")
+                        return False
                     lins[i][k] = jnp.asarray(data[key])
+                    loaded += 1
+        return loaded > 0
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

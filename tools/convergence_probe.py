@@ -71,7 +71,7 @@ dataset {{
     n_images = {n_images}
 }}
 model {{
-    feature_vector_size = 32
+    feature_vector_size = 64
     scene_bounding_sphere = 1.0
     use_warp_loss = true
     mapping_patchsizes = [ 1 ]
