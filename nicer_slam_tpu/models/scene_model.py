@@ -96,7 +96,7 @@ def init_voxels(cfg: SceneConfig) -> jnp.ndarray:
 
 
 def build_density_cache(cfg: SceneConfig, params: Dict[str, Any],
-                        voxels: jnp.ndarray) -> jnp.ndarray:
+                        voxels: jnp.ndarray, beta_scale=None) -> jnp.ndarray:
     """Dense prepass-density volume [res^3]: full-network SDF (packed-bf16
     inference) + the voxel-counter beta, evaluated on a uniform grid. The
     importance sampler reads this with one gather per sample (prepass_mode
@@ -109,7 +109,7 @@ def build_density_cache(cfg: SceneConfig, params: Dict[str, Any],
     def chunk_fn(pts):
         sdf = fields.combine_sdf_packed(cfg.combine, params["implicit"],
                                         packed, pts, "fine")
-        return _density(cfg, params, voxels, sdf, pts)
+        return _density(cfg, params, voxels, sdf, pts, beta_scale)
 
     n_chunks = 16
     out = jax.lax.map(chunk_fn, grid.reshape(n_chunks, -1, 3))
@@ -136,11 +136,16 @@ class FlowEdges(NamedTuple):
     valid: jnp.ndarray  # [E] bool
 
 
-def _density(cfg: SceneConfig, params, voxels, sdf_flat, pts_flat):
+def _density(cfg: SceneConfig, params, voxels, sdf_flat, pts_flat,
+             beta_scale=None):
     if cfg.density_method == "volsdf_laplace":
         beta = density_ops.learned_beta(params["density"]["beta"])
+        if beta_scale is not None:
+            beta = beta * beta_scale
         return density_ops.laplace_density(sdf_flat, beta)
     beta = density_ops.grid_predefined_beta(voxels, pts_flat, cfg.voxel_res)
+    if beta_scale is not None:
+        beta = beta * beta_scale
     return density_ops.laplace_density(sdf_flat[:, None], beta)[:, 0]
 
 
@@ -158,6 +163,7 @@ def render_rays(
     edges: Optional[FlowEdges] = None,
     full_rgb: Optional[jnp.ndarray] = None,   # [S, H*W, 3] float in [0,1]
     density_cache: Optional[jnp.ndarray] = None,  # [res^3] prepass density
+    beta_scale: Optional[jnp.ndarray] = None,  # density warmup multiplier
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass over a flat ray batch (network.py:78-347 equivalent).
 
@@ -202,7 +208,7 @@ def render_rays(
                                           pts, "fine")[:, 0]
 
         def density_prepass(sdf, pts):
-            return _density(cfg, params, voxels, sdf, pts)
+            return _density(cfg, params, voxels, sdf, pts, beta_scale)
 
     pc = cfg.sampler.prepass_ray_chunk
     if pc and R > pc and R % pc == 0:
@@ -262,7 +268,8 @@ def render_rays(
         rgb_un = rgb_un_flat.reshape(R, S, 3)
     rgb = rgb_flat.reshape(R, S, 3)
 
-    density_flat = _density(cfg, params, new_voxels, sdf[:, 0], points_flat)
+    density_flat = _density(cfg, params, new_voxels, sdf[:, 0], points_flat,
+                            beta_scale)
     weights = render_weights(z_vals, density_flat.reshape(R, S))
 
     rgb_values = (weights[..., None] * rgb).sum(axis=1)                 # [R,3]

@@ -83,6 +83,7 @@ def map_step(
     store_mask: jnp.ndarray,     # [C, HW] bool
     key: jax.Array,
     density_cache: Optional[jnp.ndarray] = None,
+    beta_scale: Optional[jnp.ndarray] = None,
     *,
     stage: str,
     color_stage: str,
@@ -144,7 +145,7 @@ def map_step(
             scene_cfg, p, voxels, batch, k_render,
             stage=stage, color_stage=color_stage, training=True,
             is_mapping=True, edges=edges, full_rgb=full_rgb_u8,
-            density_cache=density_cache)
+            density_cache=density_cache, beta_scale=beta_scale)
         terms = compute_losses(
             loss_cfg, out, gt, batch, stage=stage,
             is_first_frame=is_first_frame, num_slots=Smax,

@@ -243,6 +243,11 @@ class SLAMRunner:
         self._flow_cache = {}
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
+        # density (beta) warmup: soft -> sharp annealing during the first
+        # mapping call only (a stabilizer against the anchor-overshoot /
+        # density-saturation collapse; 0 disables = reference behavior)
+        self.beta_warmup_scale = c.get_float("model.density.beta_warmup_scale", 0.0)
+        self.beta_warmup_iters = c.get_int("model.density.beta_warmup_iters", 50)
         self.prepass_refresh = c.get_int("model.ray_sampler.prepass_cache_refresh", 10)
         self.density_cache = None
         if self.scene_cfg.sampler.prepass_mode == "cached":
@@ -450,6 +455,11 @@ class SLAMRunner:
             else:
                 stage, color_stage = "fine", "highfreq"
 
+            beta_scale = None
+            if self.beta_warmup_scale > 0 and frame_idx == 0:
+                frac = min(mapping_iter / max(self.beta_warmup_iters, 1), 1.0)
+                beta_scale = jnp.asarray(
+                    self.beta_warmup_scale ** (1.0 - frac), jnp.float32)
             if (self.density_cache is not None
                     and mapping_iter % self.prepass_refresh == 0):
                 self.density_cache = self._refresh_cache(self.params,
@@ -461,7 +471,7 @@ class SLAMRunner:
                 poses_q, refs,
                 self.store.rgb, self.store.depth, self.store.normal,
                 self.store.gt_depth, self.store.mask,
-                self._next_key(), self.density_cache,
+                self._next_key(), self.density_cache, beta_scale,
                 stage=stage, color_stage=color_stage, ba=ba,
                 is_first_frame=(frame_idx == 0), use_flow=self._use_flow)
 

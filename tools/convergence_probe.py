@@ -103,7 +103,8 @@ model {{
         weight_norm = true  multires_view = 4
         per_image_code = false  use_grid_feature = false
     }}
-    density {{ params_init {{ beta = 0.1 }}  beta_min = 0.0001 }}
+    density {{ params_init {{ beta = 0.1 }}  beta_min = 0.0001
+               beta_warmup_scale = {beta_warmup}  beta_warmup_iters = {beta_warmup_iters} }}
     gridpredefinedensity {{}}
     ray_sampler {{ near = 0.0  N_samples = 64  N_samples_eval = 256  N_samples_extra = 32  prepass_ray_chunk = 2048 }}
 }}
@@ -138,7 +139,8 @@ def run_probe(args, data_dir=None):
         track_lr=args.track_lr, grid_lr_factor=args.grid_lr_factor,
         ba="true" if args.ba else "false", mef=args.mef,
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
-        density=args.density)
+        density=args.density, beta_warmup=args.beta_warmup,
+        beta_warmup_iters=max(int(args.iters * 0.8), 1))
     conf_path = os.path.join(tmp, "probe.conf")
     with open(conf_path, "w") as f:
         f.write(conf)
@@ -194,6 +196,7 @@ def build_argparser():
     p.add_argument("--H", type=int, default=120)
     p.add_argument("--W", type=int, default=160)
     p.add_argument("--density", type=str, default="volsdf_gridpredefined")
+    p.add_argument("--beta_warmup", type=float, default=0.0)
     return p
 
 
