@@ -78,11 +78,17 @@ def sphere_trace(origins: np.ndarray, dirs: np.ndarray,
     return np.minimum(t, t_max)
 
 
-def camera_trajectory(n_frames: int) -> List[np.ndarray]:
-    """Smooth orbit inside the room; returns c2w (cube coords)."""
+def camera_trajectory(n_frames: int,
+                      rad_per_frame: float = 0.03) -> List[np.ndarray]:
+    """Smooth orbit inside the room; returns c2w (cube coords).
+
+    The angular velocity is FIXED per frame (not per sequence) so
+    frame-to-frame motion matches real SLAM data (~0.01 cube units/frame,
+    like Replica at 2000 frames) regardless of sequence length — tracking
+    has no basin of attraction otherwise."""
     poses = []
     for i in range(n_frames):
-        a = 2.0 * np.pi * i / max(n_frames, 1) * 0.5
+        a = rad_per_frame * i
         pos = np.array([0.35 * np.sin(a), 0.12 * np.sin(2 * a) + 0.05,
                         0.35 * np.cos(a) - 0.1])
         target = np.array([0.45 * np.sin(a + 1.1), 0.0,
