@@ -9,8 +9,6 @@ Gaussian Fourier features (embedder.py:40-68) are also provided for the
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

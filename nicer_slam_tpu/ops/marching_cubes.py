@@ -13,7 +13,7 @@ per-vertex normals (from central-difference SDF gradients on the grid).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 

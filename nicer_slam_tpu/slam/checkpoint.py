@@ -14,7 +14,7 @@ Pose checkpoints keep est_pose_all as a {frame_idx: 4x4 c2w} mapping.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import jax
 import numpy as np

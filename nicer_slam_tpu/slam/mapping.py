@@ -15,7 +15,7 @@ changes never recompile. Pixel gathers read the device FrameStore.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

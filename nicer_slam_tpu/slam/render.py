@@ -8,7 +8,7 @@ renderer reused for every chunk (fixed shapes), padded at the tail.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

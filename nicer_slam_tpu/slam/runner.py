@@ -14,7 +14,6 @@ selection, device staging, pose bookkeeping, IO.
 from __future__ import annotations
 
 import os
-import sys
 import time
 from datetime import datetime
 from typing import Dict, List, Optional
@@ -25,7 +24,7 @@ import numpy as np
 
 from .. import config as config_mod
 from ..models import scene_model as sm
-from ..models.losses import LossConfig, loss_config_from_conf
+from ..models.losses import loss_config_from_conf
 from ..utils.camera import camera_from_tensor_np, tensor_from_camera_np
 from . import checkpoint as ckpt
 from .frame_store import FrameStore

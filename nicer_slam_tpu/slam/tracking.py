@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..models import scene_model as sm
 from ..models.losses import LossConfig, compute_losses
 from ..utils.camera import camera_from_tensor
-from .state import AdamState, adam_init, adam_update
+from .state import adam_init, adam_update
 
 
 class TrackConfig(NamedTuple):
