@@ -31,6 +31,15 @@ from ..utils.camera import load_K_Rt_from_P
 
 
 def load_npy_maybe_lzma(path: str) -> np.ndarray:
+    """lzma-or-raw npy (scene_dataset.py:149-153 fallback), accelerated by
+    the native fastio runtime when built (native/build.sh)."""
+    from ..utils import fastio
+
+    if fastio.available():
+        try:
+            return fastio.load_npy(path)
+        except IOError:
+            pass
     try:
         with lzma.open(path, "rb") as f:
             return np.load(f, allow_pickle=True)
