@@ -337,6 +337,10 @@ class SLAMRunner:
             init_c2w = self.est_pose_all[frame_idx - 1]
 
         init_q = jnp.asarray(tensor_from_camera_np(init_c2w))
+        if self.density_cache is not None:
+            # fresh sample-placement cache for tracking (the map just moved
+            # during the previous mapping call)
+            self.density_cache = self._refresh_cache(self.params, self.voxels)
         self._stage_frame(frame_idx)
         row = self.store.row(frame_idx)
         K = jnp.asarray(self.dataset.intrinsics_all[frame_idx])

@@ -106,7 +106,8 @@ model {{
     density {{ params_init {{ beta = 0.1 }}  beta_min = 0.0001
                beta_warmup_scale = {beta_warmup}  beta_warmup_iters = {beta_warmup_iters} }}
     gridpredefinedensity {{}}
-    ray_sampler {{ near = 0.0  N_samples = 64  N_samples_eval = 256  N_samples_extra = 32  prepass_ray_chunk = 2048 }}
+    ray_sampler {{ near = 0.0  N_samples = 64  N_samples_eval = 256  N_samples_extra = 32  prepass_ray_chunk = 2048
+                   prepass_mode = "{prepass}"  prepass_cache_res = {cache_res} }}
 }}
 """
 
@@ -140,7 +141,8 @@ def run_probe(args, data_dir=None):
         ba="true" if args.ba else "false", mef=args.mef,
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         density=args.density, beta_warmup=args.beta_warmup,
-        beta_warmup_iters=max(int(args.iters * 0.8), 1))
+        beta_warmup_iters=max(int(args.iters * 0.8), 1),
+        prepass=args.prepass, cache_res=args.cache_res)
     conf_path = os.path.join(tmp, "probe.conf")
     with open(conf_path, "w") as f:
         f.write(conf)
@@ -197,6 +199,8 @@ def build_argparser():
     p.add_argument("--W", type=int, default=160)
     p.add_argument("--density", type=str, default="volsdf_gridpredefined")
     p.add_argument("--beta_warmup", type=float, default=0.0)
+    p.add_argument("--prepass", type=str, default="cached")
+    p.add_argument("--cache_res", type=int, default=128)
     return p
 
 
