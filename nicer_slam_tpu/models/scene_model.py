@@ -61,7 +61,7 @@ def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneC
         N_samples_eval=rs.get_int("N_samples_eval", 640),
         N_samples_extra=rs.get_int("N_samples_extra", 32),
         prepass_ray_chunk=rs.get_int("prepass_ray_chunk", 1024),
-        prepass_mode=rs.get_string("prepass_mode", "cached"),
+        prepass_mode=rs.get_string("prepass_mode", "exact"),
         prepass_cache_res=rs.get_int("prepass_cache_res", 128),
     )
     patchsizes = model_conf.get_list("mapping_patchsizes", [1])

@@ -32,12 +32,16 @@ class SamplerConfig(NamedTuple):
     # the 640-sample no-grad SDF prepass (N_eval x R points). 0 = no chunking.
     prepass_ray_chunk: int = 1024
     # "exact": evaluate the full SDF network for every prepass sample (the
-    # reference's behavior, ray_sampler.py:100-112). "cached": read a
-    # periodically refreshed dense density cache — ONE gather per sample
-    # instead of ~256, the difference between ~10s and ~0.3s per mapping
-    # iteration on TPU (the prepass only PLACES samples; the main pass
-    # still evaluates the exact network at the chosen z).
-    prepass_mode: str = "cached"
+    # reference's behavior, ray_sampler.py:100-112) — the DEFAULT so that
+    # unconfigured runs match the reference. "cached": read a periodically
+    # refreshed dense density cache — ONE gather per sample instead of
+    # ~256, the difference between ~10s and ~0.3s per mapping iteration on
+    # TPU (the prepass only PLACES samples; the main pass still evaluates
+    # the exact network at the chosen z). Shipped confs opt into "cached"
+    # explicitly; on the 9-frame synthetic probe cached+per-track-refresh
+    # measured BETTER ATE than exact (0.0070 vs 0.0154, BASELINE.md) at a
+    # fraction of the cost.
+    prepass_mode: str = "exact"
     prepass_cache_res: int = 128
 
     @property

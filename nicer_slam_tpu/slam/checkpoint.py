@@ -65,11 +65,20 @@ def load_model(path_dir: str, params_template: Dict[str, Any],
             int(flat["frame_idx"]))
 
 
+def _opt_state_keypaths(opt_state):
+    """Stable per-leaf key paths — the structural fingerprint that guards
+    resume against a changed optimizer config / param tree (leaf-index-only
+    restore would silently load Adam moments into the wrong slots)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(opt_state)
+    return [jax.tree_util.keystr(path) for path, _ in flat]
+
+
 def save_optimizer(path_dir: str, opt_state, frame_idx: int):
     os.makedirs(path_dir, exist_ok=True)
     leaves, treedef = jax.tree.flatten(opt_state)
     flat = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     flat["frame_idx"] = np.asarray(frame_idx)
+    flat["keypaths"] = np.asarray(_opt_state_keypaths(opt_state))
     np.savez(os.path.join(path_dir, "latest.npz"), **flat)
 
 
@@ -77,7 +86,24 @@ def load_optimizer(path_dir: str, opt_state_template,
                    checkpoint: str = "latest"):
     data = np.load(os.path.join(path_dir, f"{checkpoint}.npz"))
     leaves, treedef = jax.tree.flatten(opt_state_template)
-    new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    if "keypaths" in data.files:
+        saved = [str(s) for s in data["keypaths"]]
+        current = _opt_state_keypaths(opt_state_template)
+        if saved != current:
+            raise ValueError(
+                "optimizer checkpoint structure mismatch (optimizer config "
+                "or param tree changed since save); refusing to restore "
+                f"misaligned Adam state. saved {len(saved)} leaves vs "
+                f"current {len(current)}; first difference: "
+                f"{next((f'{a} != {b}' for a, b in zip(saved, current) if a != b), 'leaf count')}")
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        leaf = data[f"leaf_{i}"]
+        if leaf.shape != np.asarray(tmpl).shape:
+            raise ValueError(
+                f"optimizer checkpoint leaf_{i} shape {leaf.shape} != "
+                f"expected {np.asarray(tmpl).shape}")
+        new_leaves.append(leaf)
     return jax.tree.unflatten(treedef, new_leaves)
 
 

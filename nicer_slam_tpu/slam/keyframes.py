@@ -4,14 +4,20 @@ Replicates the reference's per-mapping-iteration window construction
 (volsdf_train.py:449-499) and flow graph (``:312-324``):
 
   frame 0:        [0]
-  frame < 200:    local = range(0, frame, 10) + [frame]       (no global)
-  frame >= 200:   global = window//3 random keyframes among all but the
+  frame < G:      local = range(0, frame, ke) + [frame]       (no global)
+  frame >= G:     global = window//3 random keyframes among all but the
                   last 4; local = 2*window//3 random of the last 20
                   keyframes + current frame (sorted unique)
   at iters//2:    local += all frames since the last keyframe
-  edges: between local frames divisible by 10 with 0 < |i-j| <= 30, offset
-  by the global-list length; only built when the global list has >= 2
-  entries (i.e. frame >= 200).
+  edges: between local frames divisible by ke with 0 < |i-j| <= 3*ke,
+  offset by the global-list length; only built when the global list has
+  >= 2 entries (i.e. frame >= G).
+
+G = global_window_start (200 in the reference, hard-coded) and ke =
+keyframe_every (10 in the reference, where the stride/thresh literals 10
+and 30 equal ke and 3*ke). Both are configurable here so tests can reach
+the global+flow regime on short sequences; shipped confs keep the
+reference values.
 
 Randomness uses a host numpy Generator (the reference uses torch.randint on
 CPU; only the distribution matters).
@@ -28,6 +34,10 @@ class KeyframeConfig(NamedTuple):
     mapping_window_size: int = 15
     keyframe_every: int = 10
     num_mapping_iters: int = 100
+    # frame index at which the global-window + flow-edge regime starts
+    # (volsdf_train.py:458-499 hard-codes 200; configurable here so tests
+    # can reach the regime on short sequences)
+    global_window_start: int = 200
 
 
 class MappingWindow(NamedTuple):
@@ -38,12 +48,15 @@ class MappingWindow(NamedTuple):
 
 
 def build_flow_graph(local_list: List[int], placeholder: int,
-                     thresh: int = 30):
-    """volsdf_train.py:312-324."""
+                     thresh: int = 30, keyframe_every: int = 10):
+    """volsdf_train.py:312-324 (the reference hard-codes stride 10 and
+    thresh 30 = 3*keyframe_every; parameterized here, identical at the
+    shipped keyframe_every=10)."""
     ides, es = [], []
     for idx, x in enumerate(local_list):
         for idy, y in enumerate(local_list):
-            if x % 10 == 0 and y % 10 == 0 and 0 < abs(x - y) <= thresh:
+            if (x % keyframe_every == 0 and y % keyframe_every == 0
+                    and 0 < abs(x - y) <= thresh):
                 ides.append((idx, idy))
                 es.append((x, y))
     if not ides:
@@ -66,10 +79,12 @@ class KeyframeSelector:
         ke = cfg.keyframe_every
         ws = cfg.mapping_window_size
 
+        gws = cfg.global_window_start
+
         if frame_idx == 0:
             return MappingWindow([0], None, [True])
 
-        if frame_idx < 200:
+        if frame_idx < gws:
             global_list: List[int] = []
         else:
             hi = max(frame_idx // ke - 4, 0)
@@ -77,8 +92,8 @@ class KeyframeSelector:
                 (self.rng.integers(0, max(hi, 1), ws // 3) * ke).tolist())
 
         if mapping_iter == 0:
-            if frame_idx < 200:
-                local_list = list(range(0, frame_idx, 10)) + [frame_idx]
+            if frame_idx < gws:
+                local_list = list(range(0, frame_idx, ke)) + [frame_idx]
             else:
                 lo = max(frame_idx // ke - 20, 0)
                 hi = frame_idx // ke
@@ -87,7 +102,9 @@ class KeyframeSelector:
             self._local_list = sorted(set(local_list))
             if len(global_list) >= 2:
                 self._edges = build_flow_graph(self._local_list,
-                                               placeholder=ws // 3)
+                                               placeholder=ws // 3,
+                                               thresh=3 * ke,
+                                               keyframe_every=ke)
             else:
                 self._edges = None
 

@@ -219,8 +219,13 @@ class SLAMRunner:
             Hedge=c.get_int("SLAM.tracking.Hedge", 0),
             Wedge=c.get_int("SLAM.tracking.Wedge", 0),
         )
-        max_slots = (self.mapping_window_size // 3  # global
-                     + min(21, 200 // 10 + 1)        # local (frame<200 worst)
+        gws = c.get_int("SLAM.mapping.global_window_start", 200)
+        # local-list worst case: frame<gws gives gws//ke+1 entries; frame>=gws
+        # gives 2*window//3+1 unique entries
+        local_worst = max(gws // self.keyframe_every + 1,
+                          2 * self.mapping_window_size // 3 + 1)
+        max_slots = (self.mapping_window_size // 3  # global slots
+                     + local_worst
                      + self.keyframe_every)          # added recent frames
         self.map_cfg = MapConfig(
             num_pixels=c.get_int("train.mapping_num_pixels", 8192),
@@ -230,7 +235,10 @@ class SLAMRunner:
         )
         self.kf_selector = KeyframeSelector(
             KeyframeConfig(self.mapping_window_size, self.keyframe_every,
-                           self.num_mapping_iters), seed=seed)
+                           self.num_mapping_iters,
+                           global_window_start=c.get_int(
+                               "SLAM.mapping.global_window_start", 200)),
+            seed=seed)
 
         # ---- device frame store
         n_kf_rows = self.n_images // self.keyframe_every + 2
@@ -239,7 +247,12 @@ class SLAMRunner:
 
         self.start_frame_idx = 0
         self.est_pose_all: Dict[int, np.ndarray] = self.dataset.est_pose_all
-        self._flow_cache = {}
+        # bounded host-side cache of loaded flow pairs (f16 ~6.5MB/pair at
+        # Replica res -> <=64 pairs ~420MB host RAM)
+        self._flow_cache: Dict = {}
+        self._flow_cache_max = 64
+        self._edge_refs = None
+        self._use_flow = False
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
         # density (beta) warmup: soft -> sharp annealing during the first
@@ -363,9 +376,72 @@ class SLAMRunner:
         return c2w
 
     # ------------------------------------------------------------------
-    def _prepare_refs(self, keyframe_list: List[int], edges) -> MapBatchRefs:
-        Smax = self.map_cfg.max_slots
+    def _load_flow_pair(self, i: int, j: int):
+        """Flow+occ for edge i->j as [HW,2] f16 / [HW] bool, cached across
+        mapping calls (the reference loads flow GT once per mapping call at
+        mapping_iter==0, volsdf_train.py:326-346; keyframes recur across
+        calls, so a bounded cross-call cache also kills repeat disk reads)."""
+        key = (i, j)
+        if key in self._flow_cache:
+            return self._flow_cache[key]
+        HW = self.total_pixels
+        try:
+            flow, ok = self.dataset.flow_pair(i, j)
+        except (FileNotFoundError, AttributeError):
+            return None
+        entry = (flow.reshape(HW, 2).astype(np.float16), ok.reshape(HW))
+        if len(self._flow_cache) >= self._flow_cache_max:
+            self._flow_cache.pop(next(iter(self._flow_cache)))
+        self._flow_cache[key] = entry
+        return entry
+
+    def _prepare_edge_refs(self, edges):
+        """Flow-edge device data, built ONCE per mapping call (the edge
+        graph and its slot ids are fixed for the whole call: edges are built
+        at mapping_iter==0 and the local list only *appends* at iters//2, so
+        existing slot indices never move; keyframes.py).
+
+        ALL edge arrays are padded to the same fixed Emax — flow_imgs /
+        flow_occ included — so compute_losses' [E,R] broadcasts line up and
+        map_step never recompiles on a different kept-edge count.
+        """
         Emax = self.map_cfg.max_edges
+        HW = self.total_pixels
+        edge_idii = np.zeros((Emax,), np.int32)
+        edge_idjj = np.zeros((Emax,), np.int32)
+        edge_valid = np.zeros((Emax,), bool)
+        kept = 0
+        if edges is not None and self.loss_cfg.flow_weight > 0:
+            flow_imgs = np.zeros((Emax, HW, 2), np.float16)
+            flow_occ = np.zeros((Emax, HW), bool)
+            idii, idjj, ii, jj = edges
+            ne = min(len(idii), Emax)
+            for e in range(ne):
+                pair = self._load_flow_pair(int(ii[e]), int(jj[e]))
+                if pair is None:
+                    continue
+                flow_imgs[kept] = pair[0]
+                flow_occ[kept] = pair[1]
+                edge_idii[kept] = int(idii[e])
+                edge_idjj[kept] = int(idjj[e])
+                edge_valid[kept] = True
+                kept += 1
+        if kept == 0:
+            # no flow this call: ship 1-row placeholders (use_flow=False is
+            # a static arg, so this is a distinct — tiny — compile)
+            flow_imgs = np.zeros((1, HW, 2), np.float16)
+            flow_occ = np.zeros((1, HW), bool)
+        self._use_flow = kept > 0
+        self._edge_refs = (
+            jnp.asarray(edge_idii), jnp.asarray(edge_idjj),
+            jnp.asarray(edge_valid), jnp.asarray(flow_imgs),
+            jnp.asarray(flow_occ))
+
+    def _prepare_refs(self, keyframe_list: List[int]) -> MapBatchRefs:
+        """Per-iteration slot data (the global keyframe draw changes every
+        iteration for frame>=global_window_start); edge/flow arrays come
+        from the per-call _prepare_edge_refs."""
+        Smax = self.map_cfg.max_slots
         n = min(len(keyframe_list), Smax)
         kfs = keyframe_list[:n]
         for kf in kfs:
@@ -378,47 +454,17 @@ class SLAMRunner:
             frame_ids[s] = kf
             intr[s] = self.dataset.intrinsics_all[kf]
 
-        edge_idii = np.zeros((Emax,), np.int32)
-        edge_idjj = np.zeros((Emax,), np.int32)
-        edge_valid = np.zeros((Emax,), bool)
-        HW = self.total_pixels
-        flow_imgs = np.zeros((1, HW, 2), np.float16)
-        flow_occ = np.zeros((1, HW), bool)
-        use_flow = False
-        if edges is not None and self.loss_cfg.flow_weight > 0:
-            idii, idjj, ii, jj = edges
-            ne = min(len(idii), Emax)
-            fi = np.zeros((max(ne, 1), HW, 2), np.float16)
-            fo = np.zeros((max(ne, 1), HW), bool)
-            kept = 0
-            for e in range(ne):
-                i, j = int(ii[e]), int(jj[e])
-                try:
-                    flow, ok = self.dataset.flow_pair(i, j)
-                except (FileNotFoundError, AttributeError):
-                    continue
-                fi[kept] = flow.reshape(HW, 2).astype(np.float16)
-                fo[kept] = ok.reshape(HW)
-                edge_idii[kept] = int(idii[e])
-                edge_idjj[kept] = int(idjj[e])
-                edge_valid[kept] = True
-                kept += 1
-            if kept > 0:
-                use_flow = True
-                flow_imgs = fi[:max(kept, 1)]
-                flow_occ = fo[:max(kept, 1)]
-
-        self._use_flow = use_flow
+        idii, idjj, valid, flow_imgs, flow_occ = self._edge_refs
         return MapBatchRefs(
             slot_rows=jnp.asarray(slot_rows),
             frame_ids=jnp.asarray(frame_ids),
             n_valid=jnp.asarray(n, jnp.int32),
             intrinsics=jnp.asarray(intr),
-            edge_idii=jnp.asarray(edge_idii),
-            edge_idjj=jnp.asarray(edge_idjj),
-            edge_valid=jnp.asarray(edge_valid),
-            flow_imgs=jnp.asarray(flow_imgs),
-            flow_occ=jnp.asarray(flow_occ),
+            edge_idii=idii,
+            edge_idjj=idjj,
+            edge_valid=valid,
+            flow_imgs=flow_imgs,
+            flow_occ=flow_occ,
         )
 
     def map(self, frame_idx: int):
@@ -436,9 +482,13 @@ class SLAMRunner:
             ba = (self.enable_BA and frame_idx > 0
                   and mapping_iter > int(self.num_mapping_iters * self.BA_ratio))
 
-            # refs change when the keyframe set changes (every iter for
-            # frame>=200 because the global draw is fresh each iteration)
-            refs = self._prepare_refs(kfs, win.edges)
+            if mapping_iter == 0:
+                # the edge graph + flow GT are fixed for the whole call
+                # (volsdf_train.py:326-346 loads flow once at iter 0)
+                self._prepare_edge_refs(win.edges)
+            # slot refs change when the keyframe set changes (every iter for
+            # frame>=global_window_start: the global draw is fresh each time)
+            refs = self._prepare_refs(kfs)
 
             poses_q = np.zeros((Smax, 7), np.float32)
             poses_q[:, 0] = 1.0

@@ -196,6 +196,116 @@ def test_mesh_extraction(runner, tiny_scene, tmp_path_factory):
     assert "colors" in mesh
 
 
+FLOW_REGIME_EXTRA = """
+SLAM {{
+    mapping {{
+        mapping_window_size = 6
+        BA = true
+        BA_ratio = 0.7
+        BA_cam_lr = 0.001
+        keyframe_every = 2
+        mapping_every_frame = 4
+        global_window_start = 8
+        iters = {map_iters}
+    }}
+    tracking {{ gt_cam = true  lr = 0.01  iters = 4  Hedge = 0  Wedge = 0 }}
+}}
+"""
+
+
+def test_global_window_flow_regime(tiny_scene_flow, tmp_path_factory):
+    """The frame>=global_window_start regime: global keyframe draw + flow
+    edges loaded from disk actually execute inside map_step (the reference's
+    volsdf_train.py:449-613,312-361 path at frame>=200). Verifies the
+    Emax-padded flow shapes ([E,R] broadcasts in compute_losses) with a
+    kept-edge count strictly between 0 and Emax — the exact case that used
+    to shape-crash — and that map_step does not recompile across iterations."""
+    import jax
+
+    work = tmp_path_factory.mktemp("flowexp")
+    body = TINY_CONF.format(data_dir=tiny_scene_flow, H=48, W=64,
+                            n_images=10, map_iters=6, track_iters=4)
+    # swap in the flow-regime SLAM block (keyframe stride 2, global window
+    # from frame 8)
+    head = FLOW_REGIME_EXTRA.format(map_iters=6)
+    body = head + body[body.index("\ntrain {"):]
+    conf_path = str(work / "flow.conf")
+    with open(conf_path, "w") as f:
+        f.write(body)
+
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+    from nicer_slam_tpu.slam import mapping as mapping_mod
+
+    compiles_before = mapping_mod.map_step._cache_size()
+    r = SLAMRunner(conf=conf_path, root_dir=str(work), quiet=True)
+    terms_by_frame = {}
+    for frame_idx in range(r.n_images):
+        r.track(frame_idx)
+        if frame_idx % r.mapping_every_frame == 0:
+            terms_by_frame[frame_idx] = r._map_impl(frame_idx)
+
+    # frame 8 is in the global-window regime: flow edges must have fired
+    assert r._use_flow, "flow edges never activated in the global regime"
+    n_edges = int(np.asarray(r._edge_refs[2]).sum())
+    assert 0 < n_edges < r.map_cfg.max_edges, n_edges
+    fl = float(terms_by_frame[8]["flow_loss"])
+    assert np.isfinite(fl) and fl > 0.0, fl
+    assert np.isfinite(float(terms_by_frame[8]["loss"]))
+    # the flow pairs were served from the cross-iteration cache, not re-read
+    assert len(r._flow_cache) > 0
+    # shape-stable design: compiles are bounded by the static-flag combos
+    # (stage x color_stage x ba x use_flow x is_first_frame — ~10 reachable
+    # here), NEVER one per mapping iteration (36) or per kept-edge count
+    compiles = mapping_mod.map_step._cache_size() - compiles_before
+    assert compiles <= 12, f"map_step recompiled: {compiles} new entries"
+
+
+@pytest.fixture(scope="module")
+def tiny_scene_flow(tmp_path_factory):
+    from nicer_slam_tpu.datasets.synthetic import generate
+
+    root = tmp_path_factory.mktemp("flowscene")
+    data_dir = str(root / "Synthetic")
+    generate(data_dir, scan_id=1, n_frames=10, H=48, W=64, world_scale=3.0,
+             keyframe_every=2, flow_thresh=6, with_flow=True)
+    return data_dir
+
+
+def test_optimizer_checkpoint_structure_guard(tmp_path):
+    """Resume must refuse a checkpoint whose optimizer tree no longer
+    matches (leaf-index-only restore would silently corrupt Adam moments)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pytest as _pytest
+
+    from nicer_slam_tpu.slam import checkpoint as ckpt
+
+    params_a = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    opt = optax.adam(1e-3)
+    state_a = opt.init(params_a)
+    d = str(tmp_path / "OptimizerParameters")
+    ckpt.save_optimizer(d, state_a, 5)
+
+    # same structure round-trips
+    restored = ckpt.load_optimizer(d, state_a)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored)[0]),
+        np.asarray(jax.tree.leaves(state_a)[0]))
+
+    # different param tree -> hard error, not silent mis-load
+    params_b = {"w2": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state_b = opt.init(params_b)
+    with _pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.load_optimizer(d, state_b)
+
+    # same keys, different shape -> hard error
+    params_c = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    state_c = opt.init(params_c)
+    with _pytest.raises(ValueError, match="shape"):
+        ckpt.load_optimizer(d, state_c)
+
+
 def test_resume_from_checkpoint(runner, tiny_scene, tmp_path_factory):
     from nicer_slam_tpu.slam.runner import SLAMRunner
 
