@@ -28,7 +28,8 @@ import numpy as np
 
 from ..config import Config
 from ..ops import hash_encoder as he
-from ..ops.embedder import positional_encoding, positional_encoding_dim
+from ..ops.embedder import (positional_encoding, positional_encoding_dim,
+                            positional_encoding_grad_contract)
 from .linear import (
     init_linear_default,
     init_linear_geometric,
@@ -147,6 +148,24 @@ def init_implicit_net(rng, cfg: ImplicitNetConfig) -> Dict[str, Any]:
     return params
 
 
+def _mlp_forward(cfg: ImplicitNetConfig, params: Dict[str, Any],
+                 inp: jnp.ndarray) -> jnp.ndarray:
+    """The decoder MLP on an already-assembled input (PE ⊕ grid features):
+    softplus-β100 hidden layers, skip concats, optional fine-SDF clamp."""
+    h = inp
+    num_layers = len(cfg.layer_dims)
+    for l in range(num_layers - 1):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2.0)
+        h = linear_apply(params["lins"][l], h)
+        if l < num_layers - 2:
+            h = softplus_beta100(h)
+    if cfg.clamp and cfg.name == "fine":
+        sdf = jnp.tanh(h[:, :1]) * 0.05
+        h = jnp.concatenate([sdf, h[:, 1:]], axis=-1)
+    return h
+
+
 def implicit_forward(cfg: ImplicitNetConfig, params: Dict[str, Any],
                      x: jnp.ndarray,
                      c_feature_vectors: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -163,19 +182,44 @@ def implicit_forward(cfg: ImplicitNetConfig, params: Dict[str, Any],
         inp = jnp.concatenate([embed, feature], axis=-1)
     else:
         inp = jnp.concatenate([x, feature], axis=-1)
+    return _mlp_forward(cfg, params, inp)
 
-    h = inp
-    num_layers = len(cfg.layer_dims)
-    for l in range(num_layers - 1):
-        if l in cfg.skip_in:
-            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2.0)
-        h = linear_apply(params["lins"][l], h)
-        if l < num_layers - 2:
-            h = softplus_beta100(h)
-    if cfg.clamp and cfg.name == "fine":
-        sdf = jnp.tanh(h[:, :1]) * 0.05
-        h = jnp.concatenate([sdf, h[:, 1:]], axis=-1)
-    return h
+
+def implicit_outputs_analytic(cfg: ImplicitNetConfig, params: Dict[str, Any],
+                              x: jnp.ndarray):
+    """(out [N,1+F], dSDF/dx [N,3]) via the analytic-Jacobian route.
+
+    The grid encoder returns features AND dfeat/dx from one gather pass
+    (hash_encode_with_grad — the reference CUDA forward's cached dy_dx,
+    hashencoder.cu:237-282); dSDF/dinput comes from a vjp over the MLP ONLY
+    (matmul cost, zero gathers); the chain rule contracts the two. Replaces
+    the nested whole-network vjp whose backward-of-backward re-traversed
+    the gather graph — hashed gather/scatter volume drops to 1 gather (fwd)
+    + 1 scatter (outer bwd). Fully differentiable, so the second-order
+    losses (eikonal/smooth/normal, via grad-of-grad) compose as before.
+    """
+    if cfg.use_grid_feature:
+        feats, dfeat = he.hash_encode_with_grad(
+            cfg.hash_spec(), params["encoding"], x / cfg.divide_factor)
+        dfeat = dfeat / cfg.divide_factor
+    else:
+        feats = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), dtype=x.dtype)
+        dfeat = None
+    if cfg.multires > 0:
+        pe = positional_encoding(x, cfg.multires)
+        inp = jnp.concatenate([pe, feats], axis=-1)
+        n_pe = pe.shape[-1]
+    else:
+        inp = jnp.concatenate([x, feats], axis=-1)
+        n_pe = x.shape[-1]
+    out, mlp_vjp = jax.vjp(lambda i: _mlp_forward(cfg, params, i), inp)
+    cot = jnp.zeros_like(out).at[:, 0].set(1.0)
+    (dsdf_dinp,) = mlp_vjp(cot)
+    grads = positional_encoding_grad_contract(x, cfg.multires,
+                                              dsdf_dinp[:, :n_pe])
+    if dfeat is not None:
+        grads = grads + jnp.einsum("nc,ncd->nd", dsdf_dinp[:, n_pe:], dfeat)
+    return out, grads
 
 
 # ---------------------------------------------------------------------------
@@ -218,17 +262,36 @@ def combine_sdf(cfg: CombineConfig, params: Dict[str, Any], x: jnp.ndarray,
     return combine_forward(cfg, params, x, stage)[:, :1]
 
 
-def combine_get_outputs(cfg: CombineConfig, params: Dict[str, Any],
-                        x: jnp.ndarray, stage: str = "fine"):
-    """(sdf [N,1], features [N,F], gradients [N,3]) with a differentiable
-    gradient (second-order-ready), sharing one forward via jax.vjp —
-    the JAX analogue of base_networks.py:208-221."""
+def combine_get_outputs_vjp(cfg: CombineConfig, params: Dict[str, Any],
+                            x: jnp.ndarray, stage: str = "fine"):
+    """(sdf [N,1], features [N,F], gradients [N,3]) via a whole-network
+    jax.vjp (the direct JAX analogue of base_networks.py:208-221). Kept for
+    the concat_coarse_feature topology (where the fine input depends on the
+    coarse features' x-dependence) and as the reference implementation the
+    analytic path is tested against."""
     out, vjp_fn = jax.vjp(lambda xx: combine_forward(cfg, params, xx, stage), x)
     sdf = out[:, :1]
     feat = out[:, 1:]
     cot = jnp.zeros_like(out).at[:, 0].set(1.0)
     (grads,) = vjp_fn(cot)
     return sdf, feat, grads
+
+
+def combine_get_outputs(cfg: CombineConfig, params: Dict[str, Any],
+                        x: jnp.ndarray, stage: str = "fine"):
+    """(sdf [N,1], features [N,F], gradients [N,3]), second-order-ready.
+
+    Default route: analytic grid Jacobian + MLP-only vjp per net
+    (implicit_outputs_analytic) — the gather-minimal formulation. Falls
+    back to the whole-network vjp for concat_coarse_feature."""
+    if cfg.fine.concat_coarse_feature and stage != "coarse":
+        return combine_get_outputs_vjp(cfg, params, x, stage)
+    out_c, g_c = implicit_outputs_analytic(cfg.coarse, params["coarse"], x)
+    if stage == "coarse":
+        return out_c[:, :1], out_c[:, 1:], g_c
+    out_f, g_f = implicit_outputs_analytic(cfg.fine, params["fine"], x)
+    out = out_c + out_f
+    return out[:, :1], out[:, 1:], g_c + g_f
 
 
 def combine_gradient(cfg: CombineConfig, params: Dict[str, Any],

@@ -32,6 +32,29 @@ def positional_encoding(x: jnp.ndarray, multires: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
+def positional_encoding_grad_contract(x: jnp.ndarray, multires: int,
+                                      cot: jnp.ndarray) -> jnp.ndarray:
+    """Contract a cotangent over PE outputs with the analytic PE Jacobian:
+    ``sum_j cot_j * dPE_j/dx`` -> [..., D].
+
+    PE's Jacobian is block-diagonal (each output depends on exactly one
+    input dim), so this is elementwise — no [N, d_pe, D] materialization.
+    Used by the analytic-gradient field path (fields.py) alongside the hash
+    encoder's cached dy_dx.
+    """
+    if multires <= 0:
+        return cot
+    D = x.shape[-1]
+    c = cot.reshape(*x.shape[:-1], 1 + 2 * multires, D)
+    g = c[..., 0, :]
+    for i in range(multires):
+        f = 2.0 ** i
+        xf = x * f
+        g = g + c[..., 1 + 2 * i, :] * (f * jnp.cos(xf))
+        g = g + c[..., 2 + 2 * i, :] * (-f * jnp.sin(xf))
+    return g
+
+
 def init_fourier_features(rng: jax.Array, num_input_channels: int = 3,
                           mapping_size: int = 93, scale: float = 25.0) -> jnp.ndarray:
     return jax.random.normal(rng, (num_input_channels, mapping_size)) * scale

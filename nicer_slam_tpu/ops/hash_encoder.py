@@ -224,6 +224,105 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
     return feats.T.reshape(*prefix, spec.output_dim)
 
 
+def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
+                          x: jnp.ndarray, size: float = 1.0
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode AND the analytic input-Jacobian from ONE gather pass.
+
+    Returns ``(feats [..., L*C], dfeat_dx [..., L*C, D])`` where dfeat_dx is
+    the exact derivative of the features w.r.t. the input ``x`` (chain factor
+    scale/(2*size) included). This is the TPU analogue of the reference CUDA
+    forward's cached ``dy_dx`` (hashencoder.cu:237-282): both the value and
+    the derivative are weighted sums of the SAME gathered corner values, so
+    SDF normals cost zero extra gathers — the nested-vjp formulation they
+    replace re-traverses the gather graph in every backward-of-backward.
+
+    Everything is plain differentiable JAX (the corner weights w(x) and
+    dw(x) are polynomials), so the outer loss backward — including second
+    order through the eikonal/normal losses — composes automatically, with
+    exactly one scatter-add into the table.
+    """
+    D = spec.input_dim
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, D)
+    N = x.shape[0]
+    u = (x + size) / (2.0 * size)
+    chain = 1.0 / (2.0 * size)                         # du/dx
+
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)      # [N]
+    corners = jnp.asarray(_corner_offsets(D))          # [2^D, D]
+    u_t = u.T                                          # [D, N]
+
+    C = spec.level_dim
+    T = spec.total_entries
+    emb_flat = embeddings.reshape(-1)
+    chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
+
+    outs = []
+    douts = []
+    for lvl in range(spec.num_levels):
+        scale = spec.scales[lvl]
+        pos = u_t * scale                              # [D, N]
+        left = jnp.floor(pos)
+        f = pos - left
+        wb = f * f * (3.0 - 2.0 * f)                   # smoothstep  [D, N]
+        wa = 1.0 - wb
+        dwb = 6.0 * f * (1.0 - f) * (scale * chain)    # d(wb)/dx_d  [D, N]
+
+        # per-dim selected weights sel[d] [2^D, N] and their derivatives
+        sels = []
+        dsels = []
+        for d in range(D):
+            bit = corners[:, d:d + 1]                  # [2^D, 1]
+            sels.append(jnp.where(bit == 1, wb[d][None, :], wa[d][None, :]))
+            dsels.append(jnp.where(bit == 1, dwb[d][None, :],
+                                   -dwb[d][None, :]))
+        w = sels[0]
+        for d in range(1, D):
+            w = w * sels[d]
+        dws = []
+        for d in range(D):
+            dw_d = dsels[d]
+            for d2 in range(D):
+                if d2 != d:
+                    dw_d = dw_d * sels[d2]
+            dws.append(dw_d)                           # [2^D, N] each
+
+        if DENSE_BLOCK and spec.dense[lvl] and D == 3:
+            res = spec.resolutions[lvl]
+            left_i = jnp.clip(left.astype(jnp.int32), 0, res - 1)
+            cell = (left_i[2] * res + left_i[1]) * res + left_i[0]
+            blocked = _dense_block_table(spec, embeddings, lvl)  # [res^3,8C]
+            rows = blocked[cell]                                 # [N, 8C]
+            rows = _checkpoint_name(rows, "hash_gather")
+            sel_mat = jnp.asarray(
+                np.tile(np.eye(C, dtype=np.float32), (corners.shape[0], 1)))
+            w_exp = jnp.repeat(w.T, C, axis=1)                   # [N, 8C]
+            outs.append(((rows * w_exp) @ sel_mat).T)            # [C, N]
+            dlvl = []
+            for d in range(D):
+                dw_exp = jnp.repeat(dws[d].T, C, axis=1)
+                dlvl.append(((rows * dw_exp) @ sel_mat).T)       # [C, N]
+        else:
+            left_i = left.astype(jnp.int32)
+            corner_xyz = left_i[None, :, :] + corners[:, :, None]
+            rows_idx = _level_indices_t(spec, lvl, corner_xyz)       # [2^D,N]
+            vals = emb_flat[rows_idx[None, :, :] + chan_off]         # [C,2^D,N]
+            vals = _checkpoint_name(vals, "hash_gather")
+            outs.append(jnp.einsum("kn,ckn->cn", w, vals))           # [C, N]
+            dlvl = [jnp.einsum("kn,ckn->cn", dws[d], vals)
+                    for d in range(D)]
+        douts.append(jnp.stack(dlvl, axis=1))                        # [C,D,N]
+
+    feats = jnp.concatenate(outs, axis=0)                          # [L*C, N]
+    dfeat = jnp.concatenate(douts, axis=0)                         # [L*C,D,N]
+    feats = jnp.where(oob[None, :], 0.0, feats)
+    dfeat = jnp.where(oob[None, None, :], 0.0, dfeat)
+    feats = feats.T.reshape(*prefix, spec.output_dim)
+    dfeat = dfeat.transpose(2, 0, 1).reshape(*prefix, spec.output_dim, D)
+    return feats, dfeat
+
+
 def _level_indices_t(spec: HashGridSpec, lvl: int,
                      corner: jnp.ndarray) -> jnp.ndarray:
     """Corner-major variant of _level_indices: [2^D, D, N] -> [2^D, N]."""

@@ -121,3 +121,104 @@ def test_jit_and_shapes(rng):
     out = jax.jit(lambda e, xx: he.hash_encode(spec, e, xx))(emb, x)
     assert out.shape == (4, 5, spec.output_dim)
     assert spec.output_dim == 32
+
+
+# ---------------------------------------------------------------------------
+# Analytic dy_dx forward (hash_encode_with_grad) — the gather-minimal route
+# used by the training path (fields.implicit_outputs_analytic).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec_fn", [small_dense_spec, hashed_spec])
+def test_with_grad_matches_encode_and_autodiff(rng, spec_fn):
+    spec = spec_fn()
+    emb = he.init_hash_params(rng, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (129, 3), minval=-0.95,
+                           maxval=0.95)
+    feats, dfeat = he.hash_encode_with_grad(spec, emb, x)
+    # values match the plain encode exactly (same gathered corners/weights)
+    ref = he.hash_encode(spec, emb, x)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # the analytic Jacobian matches autodiff of the plain encode
+    jac = jax.vmap(jax.jacrev(lambda p: he.hash_encode(spec, emb, p)))(x)
+    np.testing.assert_allclose(np.asarray(dfeat), np.asarray(jac),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_with_grad_oob_zero(rng):
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jnp.asarray([[1.5, 0.0, 0.0], [0.0, -1.2, 0.3]])
+    feats, dfeat = he.hash_encode_with_grad(spec, emb, x)
+    assert np.all(np.asarray(feats) == 0.0)
+    assert np.all(np.asarray(dfeat) == 0.0)
+
+
+def test_with_grad_differentiable_second_order(rng):
+    """grad-of-grad through the analytic route: d/d(emb) of an eikonal-style
+    loss built from dfeat must match the same derivative through the plain
+    encode's autodiff gradient."""
+    spec = small_dense_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (65, 3), minval=-0.9,
+                           maxval=0.9)
+
+    def loss_analytic(e):
+        _, dfeat = he.hash_encode_with_grad(spec, e, x)
+        g = dfeat.sum(axis=1)          # pseudo SDF grad: sum over channels
+        return ((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2).mean()
+
+    def loss_autodiff(e):
+        def sdf_sum(p):
+            return he.hash_encode(spec, e, p[None]).sum()
+        g = jax.vmap(jax.grad(sdf_sum))(x)
+        return ((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2).mean()
+
+    ga = jax.grad(loss_analytic)(emb)
+    gb = jax.grad(loss_autodiff)(emb)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fields_analytic_outputs_match_vjp(rng):
+    from nicer_slam_tpu.models import fields
+
+    cfg = fields.CombineConfig(
+        coarse=fields.ImplicitNetConfig(
+            dims=(32,), multires=6, base_size=8, end_size=16, logmap=15,
+            num_levels=2, level_dim=4, feature_vector_size=16,
+            geometric_init=True, bias=0.9, name="coarse"),
+        fine=fields.ImplicitNetConfig(
+            dims=(32, 32), multires=6, base_size=8, end_size=32, logmap=15,
+            num_levels=3, level_dim=2, feature_vector_size=16,
+            geometric_init=False, name="fine"),
+    )
+    params = fields.init_combine(np.random.default_rng(0), cfg)
+    # give the grids some signal so gradients are nontrivial
+    params["coarse"]["encoding"] = params["coarse"]["encoding"] * 100.0
+    params["fine"]["encoding"] = params["fine"]["encoding"] * 100.0
+    x = jax.random.uniform(jax.random.PRNGKey(7), (97, 3), minval=-0.9,
+                           maxval=0.9)
+    for stage in ("coarse", "fine"):
+        s_a, f_a, g_a = fields.combine_get_outputs(cfg, params, x, stage)
+        s_v, f_v, g_v = fields.combine_get_outputs_vjp(cfg, params, x, stage)
+        np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_v),
+                                   rtol=1e-5, atol=1e-6, err_msg=stage)
+        np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_v),
+                                   rtol=1e-5, atol=1e-6, err_msg=stage)
+        np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_v),
+                                   rtol=1e-4, atol=1e-5, err_msg=stage)
+
+    # second order: d/d(params) of an eikonal loss equal via both routes
+    def eik(p, route):
+        _, _, g = route(cfg, p, x, "fine")
+        return ((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2).mean()
+
+    ga = jax.grad(lambda p: eik(p, fields.combine_get_outputs))(params)
+    gv = jax.grad(lambda p: eik(p, fields.combine_get_outputs_vjp))(params)
+    fa = jax.tree.leaves(ga)
+    fv = jax.tree.leaves(gv)
+    assert len(fa) == len(fv)
+    for a, v in zip(fa, fv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(v),
+                                   rtol=2e-4, atol=1e-6)
