@@ -30,6 +30,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compile cache: the flagship map_step graph takes minutes to
+    # compile over the remote-TPU tunnel; cache hits make re-runs instant
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/nicer_slam_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_setup
     from nicer_slam_tpu.models.losses import loss_config_from_conf

@@ -467,16 +467,23 @@ class SLAMRunner:
             flow_occ=flow_occ,
         )
 
-    def map(self, frame_idx: int):
+    def map(self, frame_idx: int, vis_hook=None):
         """One full mapping call (num_mapping_iters iterations)."""
         with self.timer.phase("mapping") as box:
-            terms = self._map_impl(frame_idx)
+            terms = self._map_impl(frame_idx, vis_hook)
             box["sync"] = terms["loss"]
         return terms
 
-    def _map_impl(self, frame_idx: int):
+    def _map_impl(self, frame_idx: int, vis_hook=None):
         Smax = self.map_cfg.max_slots
         for mapping_iter in range(self.num_mapping_iters):
+            # mid-mapping visual observability (volsdf_train.py:531-536):
+            # with the default inner_freq=1000 > iters this fires once, at
+            # mapping_iter==0, for plot_freq-aligned frames
+            if (vis_hook is not None and frame_idx > 1
+                    and mapping_iter % self.mapping_inner_freq == 0
+                    and frame_idx % self.plot_freq == 0):
+                vis_hook(self, frame_idx, inner_iter=mapping_iter)
             win = self.kf_selector.window(frame_idx, mapping_iter)
             kfs = win.keyframe_list[:Smax]
             ba = (self.enable_BA and frame_idx > 0
@@ -556,10 +563,7 @@ class SLAMRunner:
             self.track(frame_idx)
 
             if frame_idx % self.mapping_every_frame == 0:
-                self.map(frame_idx)
-                if (vis_hook is not None and frame_idx > 1
-                        and frame_idx % self.plot_freq == 0):
-                    vis_hook(self, frame_idx)
+                self.map(frame_idx, vis_hook=vis_hook)
 
             if not self.quiet and frame_idx % 10 == 0:
                 dt = time.time() - t0

@@ -53,6 +53,13 @@ def available() -> bool:
     return _load_lib() is not None
 
 
+def reload() -> bool:
+    """Re-attempt loading the shared library (e.g. after building it)."""
+    global _LIB, _LIB_TRIED
+    _LIB, _LIB_TRIED = None, False
+    return available()
+
+
 def _npy_from_bytes(buf: bytes) -> np.ndarray:
     return np.load(io.BytesIO(buf), allow_pickle=False)
 

@@ -25,6 +25,14 @@ def npy_files(tmp_path):
 
 
 def test_native_lib_builds_and_loads():
+    if not fastio.available():
+        # the .so is intentionally not committed; build it from source
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(["sh", os.path.join(root, "native", "build.sh")],
+                       check=True, capture_output=True)
+        fastio.reload()
     assert fastio.available(), "native/libfastio.so missing — run native/build.sh"
 
 

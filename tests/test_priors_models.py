@@ -38,6 +38,128 @@ def test_gmflow_shapes():
     assert np.isfinite(np.asarray(flow)).all()
 
 
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, list):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        return {prefix.rstrip("/"): tree}
+    for k, v in items:
+        out.update(_flatten_tree(v, f"{prefix}{k}/"))
+    return out
+
+
+@pytest.mark.slow
+def test_convert_omnidata_roundtrip():
+    """Offline validation of the Omnidata converter (VERDICT item 4):
+    random-init a torch DPT-hybrid with the OFFICIAL checkpoint key layout,
+    run the converter on its state_dict, load into the JAX model, and
+    assert forward equality with the torch reference."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_omnidata import convert_state_dict
+
+    from nicer_slam_tpu.models.dpt import dpt_forward, init_dpt, _load_flat_into
+    from tests._torch_dpt_ref import DPTRef
+
+    ref = DPTRef(out_channels=1, grid=8, seed=3)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    flat = convert_state_dict(sd)
+
+    # structural completeness: converted keys == the JAX tree, exactly
+    params = init_dpt(out_channels=1)
+    expected = set(_flatten_tree(params).keys())
+    got = set(flat.keys())
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:6]} extra={sorted(got - expected)[:6]}")
+
+    for k in expected:
+        if k == "pos_embed":   # test ref uses an 8x8 token grid, not 24x24
+            continue
+        assert flat[k].shape == tuple(np.asarray(_flatten_tree(params)[k]).shape), k
+
+    class _NpzLike:
+        def __init__(self, d):
+            self.files = list(d)
+            self._d = d
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+    params = _load_flat_into(params, _NpzLike(flat))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    x_t = torch.from_numpy(((img - 0.5) / 0.5).transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        out_t = ref(x_t).numpy().transpose(0, 2, 3, 1)
+    out_j = np.asarray(jax.jit(lambda p, x: dpt_forward(p, x, 1))(
+        params, jnp.asarray(img)))
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_convert_gmflow_roundtrip():
+    """Offline validation of the GMFlow converter: torch reference with the
+    official key layout -> converter -> JAX model; the CNN encoder and one
+    transformer block must match the torch forward, and the converted key
+    set must exactly cover the JAX parameter tree."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_gmflow import convert_state_dict
+
+    from nicer_slam_tpu.models import gmflow as gm
+    from tests._torch_gmflow_ref import GMFlowRef
+
+    ref = GMFlowRef(seed=5)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    flat = convert_state_dict(sd)
+
+    params = gm.init_gmflow()
+    expected = set(_flatten_tree(params).keys())
+    got = set(flat.keys())
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:6]} extra={sorted(got - expected)[:6]}")
+
+    class _NpzLike:
+        def __init__(self, d):
+            self.files = list(d)
+            self._d = d
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+    from nicer_slam_tpu.models.dpt import _load_flat_into
+
+    params = _load_flat_into(params, _NpzLike(flat))
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32)
+    x_t = torch.from_numpy(img.transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        feat_t = ref.backbone(x_t).numpy().transpose(0, 2, 3, 1)
+    feat_j = np.asarray(gm.backbone(params["backbone"], jnp.asarray(img)))
+    np.testing.assert_allclose(feat_j, feat_t, rtol=1e-3, atol=1e-4)
+
+    tok = rng.normal(size=(2, 48, 128)).astype(np.float32)
+    tgt = rng.normal(size=(2, 48, 128)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref.transformer.layers[0].cross_attn_ffn(
+            torch.from_numpy(tok), torch.from_numpy(tgt)).numpy()
+    out_j = np.asarray(gm.transformer_layer(
+        params["blocks"][0]["cross_attn_ffn"], jnp.asarray(tok),
+        jnp.asarray(tgt)))
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
+
+
 def test_checkpoint_flat_loader(tmp_path):
     from nicer_slam_tpu.models.dpt import _load_flat_into
 

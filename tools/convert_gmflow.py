@@ -5,14 +5,86 @@ Run where the torch checkpoint is available (this offline image cannot
 fetch it):
   python tools/convert_gmflow.py --ckpt gmflow_sintel-0c07dcb3.pth --out gmflow.npz
 
-Torch convs [co,ci,kh,kw] -> [kh,kw,ci,co]; linears [co,ci] -> [ci,co].
+Source layout (haofeixu/gmflow GMFlow module):
+  backbone.conv1 / backbone.layer{1,2,3}.{0,1}.{conv1,conv2,downsample.0}
+  backbone.conv2
+  transformer.layers.{n}.{self_attn,cross_attn_ffn}.{q_proj,k_proj,v_proj,
+      merge,norm1,mlp.0,mlp.2,norm2}
+  feature_flow_attn.{q_proj,k_proj}
+  upsampler.{0,2}
+InstanceNorms are affine=False (no parameters). Torch convs [co,ci,kh,kw]
+-> [kh,kw,ci,co]; linears [co,ci] -> [ci,co].
+
+Validated by tests/test_priors_models.py round-trip against a torch
+reference built with the official key names.
 """
 
 from __future__ import annotations
 
 import argparse
-import os
-import sys
+
+
+def convert_state_dict(sd):
+    """torch state dict (numpy-able values) -> flat {jax_key: np.ndarray}."""
+    import numpy as np
+
+    out = {}
+
+    def put(key, val):
+        out[key] = np.asarray(val, dtype=np.float32)
+
+    def put_conv(key, pre):
+        put(key + "/w", np.transpose(np.asarray(sd[pre + ".weight"]),
+                                     (2, 3, 1, 0)))
+        if (pre + ".bias") in sd:
+            put(key + "/b", sd[pre + ".bias"])
+
+    def put_lin(key, pre, bias=True):
+        put(key + "/w", np.asarray(sd[pre + ".weight"]).T)
+        if bias and (pre + ".bias") in sd:
+            put(key + "/b", sd[pre + ".bias"])
+
+    def put_norm(key, pre):
+        put(key + "/g", sd[pre + ".weight"])
+        put(key + "/b", sd[pre + ".bias"])
+
+    # --- CNN encoder
+    put_conv("backbone/conv1", "backbone.conv1")
+    for li, layer in enumerate(("layer1", "layer2", "layer3"), start=1):
+        for b in range(2):
+            pre = f"backbone.{layer}.{b}."
+            dst = f"backbone/layer{li}/{b}"
+            put_conv(f"{dst}/conv1", pre + "conv1")
+            put_conv(f"{dst}/conv2", pre + "conv2")
+            if pre + "downsample.0.weight" in sd:
+                put_conv(f"{dst}/down", pre + "downsample.0")
+    put_conv("backbone/conv2", "backbone.conv2")
+
+    # --- transformer blocks
+    n = 0
+    while f"transformer.layers.{n}.self_attn.q_proj.weight" in sd:
+        for half, tag in (("self_attn", "self_attn"),
+                          ("cross_attn_ffn", "cross_attn_ffn")):
+            pre = f"transformer.layers.{n}.{half}."
+            dst = f"blocks/{n}/{tag}"
+            put_lin(f"{dst}/q", pre + "q_proj")
+            put_lin(f"{dst}/k", pre + "k_proj")
+            put_lin(f"{dst}/v", pre + "v_proj")
+            put_lin(f"{dst}/merge", pre + "merge")
+            put_norm(f"{dst}/norm1", pre + "norm1")
+            if pre + "mlp.0.weight" in sd:
+                put_lin(f"{dst}/mlp0", pre + "mlp.0", bias=False)
+                put_lin(f"{dst}/mlp2", pre + "mlp.2", bias=False)
+                put_norm(f"{dst}/norm2", pre + "norm2")
+        n += 1
+
+    # --- flow propagation + upsampler
+    put_lin("prop/q", "feature_flow_attn.q_proj")
+    put_lin("prop/k", "feature_flow_attn.k_proj")
+    put_conv("upsampler/0", "upsampler.0")
+    put_conv("upsampler/1", "upsampler.2")
+
+    return out
 
 
 def main(argv=None):
@@ -27,44 +99,15 @@ def main(argv=None):
     sd = torch.load(a.ckpt, map_location="cpu")
     if "model" in sd:
         sd = sd["model"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
-    out = {}
-
-    def conv(key, t):
-        out[key + "/w"] = t.permute(2, 3, 1, 0).numpy().astype(np.float32)
-
-    def lin(key, wt, bt=None):
-        out[key + "/w"] = wt.t().numpy().astype(np.float32)
-        if bt is not None:
-            out[key + "/b"] = bt.numpy().astype(np.float32)
-
-    # backbone convs (upstream: backbone.conv1/2 + trident blocks; map the
-    # first six conv layers onto backbone/c1..c6 — extend for the exact
-    # upstream layout when converting)
-    conv_keys = [k for k in sd if k.endswith(".weight") and sd[k].dim() == 4]
-    for i, k in enumerate(sorted(conv_keys)[:6]):
-        conv(f"backbone/c{i+1}", sd[k])
-        bk = k.replace(".weight", ".bias")
-        if bk in sd:
-            out[f"backbone/c{i+1}/b"] = sd[bk].numpy().astype(np.float32)
-
-    # transformer blocks: upstream transformer.layers.N.{self_attn,cross_attn}
-    for n in range(6):
-        for half, tag in (("self_attn", 2 * n), ("cross_attn", 2 * n + 1)):
-            pre = f"transformer.layers.{n}.{half}."
-            if pre + "q_proj.weight" not in sd:
-                continue
-            lin(f"blocks/{tag}/q", sd[pre + "q_proj.weight"],
-                sd.get(pre + "q_proj.bias"))
-            lin(f"blocks/{tag}/k", sd[pre + "k_proj.weight"],
-                sd.get(pre + "k_proj.bias"))
-            lin(f"blocks/{tag}/v", sd[pre + "v_proj.weight"],
-                sd.get(pre + "v_proj.bias"))
-            lin(f"blocks/{tag}/proj", sd[pre + "merge.weight"],
-                sd.get(pre + "merge.bias"))
-
-    print(f"converted {len(out)} arrays "
-          f"({len(sd)} source tensors; extend mappings as needed)")
+    out = convert_state_dict(sd)
+    mapped_src = set()
+    unconverted = [k for k in sd if not any(
+        k.startswith(p) for p in ("backbone.", "transformer.",
+                                  "feature_flow_attn.", "upsampler."))]
+    print(f"converted {len(out)} arrays from {len(sd)} source tensors; "
+          f"unrecognized: {unconverted[:8]}")
     np.savez(a.out, **out)
     print(f"wrote {a.out}")
 
