@@ -237,3 +237,50 @@ def generate(
                         os.path.join(pair, f"{i:04d}_{j:04d}_occ.png"),
                         np.stack([occ] * 3, -1))
     return out_dir
+
+
+def generate_eval(
+    out_dir: str,
+    scan_id: int = 1,
+    n_views: int = 4,
+    H: int = 120,
+    W: int = 160,
+    world_scale: float = 3.0,
+    gt_depth_png_scale: float = 6553.5,
+) -> str:
+    """Held-out extrapolation views of the SAME scene, written to
+    ``<out_dir>_eval/scan<id>`` (the layout eval_rendering's extrapolate
+    method expects, reference preprocess/replica_eval_2_volsdf.py: same
+    world scaling, novel viewpoints off the training trajectory)."""
+    import imageio.v2 as imageio
+
+    inst = os.path.join(out_dir + "_eval", f"scan{scan_id}")
+    os.makedirs(inst, exist_ok=True)
+
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1]], np.float64)
+    K4 = np.eye(4)
+    K4[:3, :3] = K
+    scale_mat = np.eye(4, dtype=np.float64)
+    scale_mat[:3, :3] *= world_scale
+
+    # novel views: the training orbit phase-shifted and lifted — inside the
+    # room but never coincident with training poses
+    base = camera_trajectory(n_views * 7 + 9)
+    poses = [base[7 * i + 9].copy() for i in range(n_views)]
+    for i, p in enumerate(poses):
+        p[:3, 3] += np.array([0.0, -0.08 + 0.03 * i, 0.0])
+
+    cams = {}
+    for i, c2w in enumerate(poses):
+        rgb, z, _, _ = render_frame(H, W, K, c2w)
+        imageio.imwrite(os.path.join(inst, f"{i:06d}_rgb.png"),
+                        (rgb * 255).astype(np.uint8))
+        png = np.clip(z * world_scale * gt_depth_png_scale, 0, 65535)
+        imageio.imwrite(os.path.join(inst, f"{i:06d}_gt_depth.png"),
+                        png.astype(np.uint16))
+        c2w_world = scale_mat @ c2w
+        cams[f"world_mat_{i}"] = (K4 @ np.linalg.inv(c2w_world)).astype(np.float32)
+        cams[f"scale_mat_{i}"] = scale_mat.astype(np.float32)
+    np.savez(os.path.join(inst, "cameras.npz"), **cams)
+    return inst

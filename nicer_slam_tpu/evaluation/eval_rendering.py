@@ -82,6 +82,9 @@ def evaluate_rendering(runner, eval_method: str = "interpolate",
         "ssim": float(np.mean([r["ssim"] for r in rows])),
         "lpips": (float(np.mean([r["lpips"] for r in rows]))
                   if rows and rows[0]["lpips"] is not None else None),
+        # "lpips" with converted official weights, "lpips_randfeat" when
+        # running on the documented random-feature fallback (models/lpips.py)
+        "lpips_metric": getattr(M._lpips_fn, "metric_name", "lpips"),
         "n_views": len(rows),
         "eval_method": eval_method,
     }

@@ -163,10 +163,39 @@ def flow_l1(flow_pred, flow_gt, mask):
 
 
 def warp_l1(sampled_rgb, gt_rgb, mask):
-    """[S,R,3] sampled vs per-ray gt (broadcast over targets), masked mean
-    (loss.py:136-155, patchsize 1 / l1 path)."""
-    diff = jnp.abs(sampled_rgb - gt_rgb[None, :, :])
+    """[S,R,pp,3] sampled vs per-ray-patch gt (broadcast over targets),
+    masked mean (loss.py:136-155, l1 path)."""
+    diff = jnp.abs(sampled_rgb - gt_rgb[None])
     return _masked_mean(diff, mask[..., None])
+
+
+def _gaussian_window(ps: int, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(ps, dtype=jnp.float32) - ps // 2
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+    return (g[:, None] * g[None, :]).reshape(-1)       # [ps*ps], sums to 1
+
+
+def warp_ssim(sampled_rgb, gt_rgb, mask, ps: int):
+    """Per-patch gaussian SSIM warp loss (loss.py:139-149 "ssim" path:
+    pytorch_msssim SSIM with win_size=patchsize -> one valid position per
+    patch). Masked elements are zeroed first, exactly like the reference;
+    fully-masked patches yield SSIM 1 and contribute zero loss. Returns
+    (1 - mean ssim) — the caller applies the reference's 0.05 factor."""
+    m = mask[..., None].astype(sampled_rgb.dtype)
+    x = (sampled_rgb * m).reshape(-1, ps * ps, 3)
+    y = (jnp.broadcast_to(gt_rgb[None], sampled_rgb.shape) * m
+         ).reshape(-1, ps * ps, 3)
+    w = _gaussian_window(ps)
+    mu1 = jnp.einsum("p,npc->nc", w, x)
+    mu2 = jnp.einsum("p,npc->nc", w, y)
+    s1 = jnp.einsum("p,npc->nc", w, x * x) - mu1 * mu1
+    s2 = jnp.einsum("p,npc->nc", w, y * y) - mu2 * mu2
+    s12 = jnp.einsum("p,npc->nc", w, x * y) - mu1 * mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim = (((2 * mu1 * mu2 + C1) * (2 * s12 + C2))
+            / ((mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2)))
+    return 1.0 - ssim.mean()
 
 
 # ---------------------------------------------------------------------------
@@ -199,11 +228,26 @@ def compute_losses(
     sign_change = jnp.any(sdf > 0.0, axis=-1) & jnp.any(sdf < 0.0, axis=-1)
     mask = sign_change & (gt["mask"][:, 0] > 0.5) & ray_valid
 
-    # warp
-    if (cfg.warp_loss_weight > 0 and stage == "fine" and not is_first_frame
-            and "warp_sampled_rgb" in outputs):
-        terms["warp_loss"] = warp_l1(outputs["warp_sampled_rgb"], gt["rgb"],
-                                     outputs["warp_mask"])
+    # warp: sum over configured patchsizes (loss.py:132-155); ps==1 always
+    # uses l1, ps>1 uses l1 or gaussian-window SSIM x0.05 per warp_loss_type
+    warp_keys = sorted(k for k in outputs if k.startswith("warp_sampled_rgb_"))
+    if cfg.warp_loss_weight > 0 and stage == "fine" and not is_first_frame \
+            and warp_keys:
+        warp_total = jnp.asarray(0.0)
+        for key in warp_keys:
+            ps = int(key.rsplit("_", 1)[1])
+            sampled = outputs[key]
+            gt_patch = outputs[f"warp_gt_rgb_{ps}"]
+            wmask = outputs[f"warp_mask_{ps}"]
+            if ps == 1 or cfg.warp_loss_type == "l1":
+                warp_total = warp_total + warp_l1(sampled, gt_patch, wmask)
+            elif cfg.warp_loss_type == "ssim":
+                warp_total = warp_total + 0.05 * warp_ssim(sampled, gt_patch,
+                                                           wmask, ps)
+            else:
+                raise ValueError(
+                    f"unknown warp_loss_type {cfg.warp_loss_type}")
+        terms["warp_loss"] = warp_total
     else:
         terms["warp_loss"] = jnp.asarray(0.0)
 

@@ -42,7 +42,7 @@ class SceneConfig(NamedTuple):
     use_warp_loss: bool = True
     H: int = 680
     W: int = 1200
-    patchsize: int = 1
+    patchsizes: Tuple[int, ...] = (1,)
 
 
 def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneConfig:
@@ -76,7 +76,7 @@ def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneC
         use_warp_loss=model_conf.get_bool("use_warp_loss", False),
         H=int(img_res[0]),
         W=int(img_res[1]),
-        patchsize=int(patchsizes[0]),
+        patchsizes=tuple(int(p) for p in patchsizes),
     )
 
 
@@ -162,6 +162,7 @@ def render_rays(
     is_mapping: bool = False,
     edges: Optional[FlowEdges] = None,
     full_rgb: Optional[jnp.ndarray] = None,   # [S, H*W, 3] float in [0,1]
+    full_depth: Optional[jnp.ndarray] = None,  # [S, H*W] mono depth (warp ps>1)
     density_cache: Optional[jnp.ndarray] = None,  # [res^3] prepass density
     beta_scale: Optional[jnp.ndarray] = None,  # density warmup multiplier
 ) -> Dict[str, jnp.ndarray]:
@@ -293,31 +294,80 @@ def render_rays(
         flow_uv = pix[..., :2] / (pix[..., 2:] + 1e-8)
         out["flow"] = flow_uv - batch.uv[None, :, :]    # [E,R,2]
 
-    # ---- warp machinery, patchsize==1 (network.py:167-279)
+    # ---- warp machinery (network.py:167-279). Each configured patchsize
+    # lifts a psxps pixel patch around every sampled ray to the CENTER ray's
+    # rendered depth (fronto-parallel), reprojects into every keyframe slot,
+    # and bilinear-samples its RGB; the GT side integer-samples the ray's own
+    # keyframe. For ps>1 a depth-variance mask (var of the patch's mono
+    # depth < 0.01, network.py:260-271) kills patches across depth edges.
     if cfg.use_warp_loss and is_mapping and full_rgb is not None:
-        Ns = batch.poses.shape[0]
         w2c_all = jnp.linalg.inv(batch.poses)           # [S,4,4]
-        cam_pts = (jnp.einsum("sij,rj->sri", w2c_all[:, :3, :3], surf_points)
-                   + w2c_all[:, None, :3, 3])
-        pix = jnp.einsum("sij,srj->sri", batch.intrinsics[:, :3, :3], cam_pts)
-        tgt_uv = pix[..., :2] / (pix[..., 2:] + 1e-8)   # [S,R,2]
-        tgt_depth = pix[..., 2]                          # [S,R]
-        # reference normalizes by W (not W-1) then grid_samples with
-        # align_corners=True -> effective sample pos = uv*(dim-1)/dim
-        sx = tgt_uv[..., 0] * (cfg.W - 1) / cfg.W
-        sy = tgt_uv[..., 1] * (cfg.H - 1) / cfg.H
-        sampled = _bilinear_sample_images(full_rgb, sx, sy, cfg.H, cfg.W)
-        in_bounds = (
-            (tgt_uv[..., 0] / cfg.W * 2 - 1 > -1)
-            & (tgt_uv[..., 0] / cfg.W * 2 - 1 < 1)
-            & (tgt_uv[..., 1] / cfg.H * 2 - 1 > -1)
-            & (tgt_uv[..., 1] / cfg.H * 2 - 1 < 1)
-            & (tgt_depth > 0)
-        )
-        warp_mask = (in_bounds & batch.slot_valid[:, None]
-                     & batch.ray_valid[None, :])         # [S,R]
-        out["warp_sampled_rgb"] = sampled                # [S,R,3]
-        out["warp_mask"] = warp_mask
+        for ps in cfg.patchsizes:
+            pp = ps * ps
+            if ps == 1:
+                patch_uv = batch.uv[:, None, :]                   # [R,1,2]
+                pts = surf_points[:, None, :]                     # [R,1,3]
+            else:
+                half = ps // 2
+                gx, gy = np.meshgrid(np.arange(-half, half + 1),
+                                     np.arange(-half, half + 1),
+                                     indexing="ij")
+                offs = jnp.asarray(
+                    np.stack([gx, gy], -1).reshape(-1, 2).astype(np.float32))
+                patch_uv = batch.uv[:, None, :] + offs[None]      # [R,pp,2]
+                dirs_p, cam_p, _ = rays_from_uv(
+                    patch_uv.reshape(-1, 2),
+                    jnp.repeat(c2w, pp, axis=0),
+                    jnp.repeat(K, pp, axis=0))
+                depth_rep = jnp.repeat(rendered_depth, pp, axis=0)
+                pts = (cam_p + depth_rep * dirs_p).reshape(R, pp, 3)
+
+            flat = pts.reshape(-1, 3)                             # [R*pp,3]
+            cam_pts = (jnp.einsum("sij,nj->sni", w2c_all[:, :3, :3], flat)
+                       + w2c_all[:, None, :3, 3])
+            pix_p = jnp.einsum("sij,snj->sni",
+                               batch.intrinsics[:, :3, :3], cam_pts)
+            tgt_uv = pix_p[..., :2] / (pix_p[..., 2:] + 1e-8)     # [S,R*pp,2]
+            tgt_depth = pix_p[..., 2]
+            # reference normalizes by W (not W-1) then grid_samples with
+            # align_corners=True -> effective sample pos = uv*(dim-1)/dim
+            sx = tgt_uv[..., 0] * (cfg.W - 1) / cfg.W
+            sy = tgt_uv[..., 1] * (cfg.H - 1) / cfg.H
+            sampled = _bilinear_sample_images(full_rgb, sx, sy, cfg.H, cfg.W)
+            in_bounds = (
+                (tgt_uv[..., 0] / cfg.W * 2 - 1 > -1)
+                & (tgt_uv[..., 0] / cfg.W * 2 - 1 < 1)
+                & (tgt_uv[..., 1] / cfg.H * 2 - 1 > -1)
+                & (tgt_uv[..., 1] / cfg.H * 2 - 1 < 1)
+                & (tgt_depth > 0)
+            ).reshape(-1, R, pp)                                  # [S,R,pp]
+
+            # GT side: integer sampling of the ray's OWN keyframe image;
+            # out-of-bounds patch pixels get the reference's 1.0 placeholder
+            # (network.py:230-247) and are masked out
+            iu = patch_uv[..., 0].astype(jnp.int32)               # [R,pp]
+            iv = patch_uv[..., 1].astype(jnp.int32)
+            inb_gt = (iu >= 0) & (iu < cfg.W) & (iv >= 0) & (iv < cfg.H)
+            pix_idx = (jnp.clip(iv, 0, cfg.H - 1) * cfg.W
+                       + jnp.clip(iu, 0, cfg.W - 1))              # [R,pp]
+            gt_rgb_patch = full_rgb[batch.kf_slot[:, None], pix_idx]
+            if gt_rgb_patch.dtype == jnp.uint8:
+                gt_rgb_patch = gt_rgb_patch.astype(jnp.float32) / 255.0
+            gt_rgb_patch = jnp.where(inb_gt[..., None], gt_rgb_patch, 1.0)
+
+            mask = (in_bounds & inb_gt[None]
+                    & batch.slot_valid[:, None, None]
+                    & batch.ray_valid[None, :, None])             # [S,R,pp]
+
+            if ps > 1 and full_depth is not None:
+                d_patch = full_depth[batch.kf_slot[:, None], pix_idx]
+                d_patch = jnp.where(inb_gt, d_patch.astype(jnp.float32), 1.0)
+                var = d_patch.var(axis=-1)                        # [R]
+                mask = mask & (var < 0.01)[None, :, None]
+
+            out[f"warp_sampled_rgb_{ps}"] = sampled.reshape(-1, R, pp, 3)
+            out[f"warp_gt_rgb_{ps}"] = gt_rgb_patch               # [R,pp,3]
+            out[f"warp_mask_{ps}"] = mask
 
     depth_values = depth_scale * depth_values
 

@@ -132,6 +132,10 @@ def map_step(
 
     # warp machinery samples the slot images; map slots -> store rows once
     full_rgb_u8 = store_rgb[refs.slot_rows] if scene_cfg.use_warp_loss else None
+    # mono-depth images feed the ps>1 patch depth-variance mask
+    full_depth_img = (store_depth[refs.slot_rows]
+                      if scene_cfg.use_warp_loss
+                      and any(p > 1 for p in scene_cfg.patchsizes) else None)
 
     slot_valid = jnp.arange(Smax) < refs.n_valid
 
@@ -145,6 +149,7 @@ def map_step(
             scene_cfg, p, voxels, batch, k_render,
             stage=stage, color_stage=color_stage, training=True,
             is_mapping=True, edges=edges, full_rgb=full_rgb_u8,
+            full_depth=full_depth_img,
             density_cache=density_cache, beta_scale=beta_scale)
         terms = compute_losses(
             loss_cfg, out, gt, batch, stage=stage,

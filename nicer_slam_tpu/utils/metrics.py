@@ -67,6 +67,20 @@ def set_lpips_fn(fn) -> None:
 
 
 def lpips(img1: np.ndarray, img2: np.ndarray) -> Optional[float]:
+    """LPIPS perceptual distance (reference: eval_rendering.py:43-47).
+
+    Resolution order: an injected callable (set_lpips_fn), else the JAX
+    AlexNet-LPIPS (models/lpips.py) with a converted checkpoint when
+    `lpips_alex.npz` exists next to the repo root (tools/convert_lpips.py),
+    falling back to its deterministic random-feature variant (values then
+    NOT comparable to official LPIPS; see models/lpips.py docstring)."""
+    global _lpips_fn
     if _lpips_fn is None:
-        return None
+        import os
+
+        from ..models.lpips import LPIPSMetric
+
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        _lpips_fn = LPIPSMetric(os.path.join(root, "lpips_alex.npz"))
     return float(_lpips_fn(img1, img2))

@@ -75,10 +75,33 @@ def test_eval_rendering_interpolate(mini_run):
     agg = evaluate_rendering(mini_run, eval_method="interpolate")
     assert agg["n_views"] == 1  # range(2, 3, 100) -> [2]
     assert np.isfinite(agg["psnr"]) and np.isfinite(agg["ssim"])
-    assert agg["lpips"] is None  # gated
+    # the metric triple is complete; without converted official weights the
+    # perceptual metric self-labels as the random-feature fallback
+    assert np.isfinite(agg["lpips"])
+    assert agg["lpips_metric"] in ("lpips", "lpips_randfeat")
     csv_path = os.path.join(mini_run.rundir, "eval_rendering",
                             "interpolate.csv")
     assert os.path.exists(csv_path)
+
+
+def test_eval_rendering_extrapolate(mini_run):
+    """Extrapolate path e2e (VERDICT item 6): held-out eval scan ->
+    sim3-prealigned novel views -> metrics csv."""
+    from nicer_slam_tpu.datasets.scene_dataset import SLAMDataset
+    from nicer_slam_tpu.datasets.synthetic import generate_eval
+    from nicer_slam_tpu.evaluation.eval_rendering import evaluate_rendering
+
+    generate_eval(mini_run.dataset.data_dir, scan_id=1, n_views=3,
+                  H=48, W=64, world_scale=3.0)
+    eval_ds = SLAMDataset(data_dir=mini_run.dataset.data_dir + "_eval",
+                          img_res=[48, 64], scan_id=1, n_images=3)
+    agg = evaluate_rendering(mini_run, eval_method="extrapolate",
+                             eval_dataset=eval_ds)
+    assert agg["n_views"] == 3
+    assert np.isfinite(agg["psnr"]) and np.isfinite(agg["ssim"])
+    assert np.isfinite(agg["lpips"])
+    assert os.path.exists(os.path.join(mini_run.rundir, "eval_rendering",
+                                       "extrapolate.csv"))
 
 
 def test_visualizer_renders_frames(mini_run, tmp_path):

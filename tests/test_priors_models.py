@@ -160,6 +160,78 @@ def test_convert_gmflow_roundtrip():
     np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
 
 
+def test_convert_lpips_roundtrip(tmp_path):
+    """LPIPS converter + JAX model vs a torch reference of the official
+    computation (torchvision AlexNet features + lpips lin heads)."""
+    import sys
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_lpips import convert_state_dicts
+
+    from nicer_slam_tpu.models import lpips as lp
+
+    torch.manual_seed(11)
+    # torchvision AlexNet `features` layout (indices 0,3,6,8,10 are convs)
+    features = nn.Sequential(
+        nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(), nn.MaxPool2d(3, 2))
+    alex_sd = {f"features.{k}": v for k, v in features.state_dict().items()}
+    lins = [torch.rand(1, c, 1, 1) for c in (64, 192, 384, 256, 256)]
+    lpips_sd = {f"lin{i}.model.1.weight": w for i, w in enumerate(lins)}
+
+    flat = convert_state_dicts({k: v.numpy() for k, v in alex_sd.items()},
+                               {k: v.numpy() for k, v in lpips_sd.items()})
+    import numpy as _np
+    _np.savez(tmp_path / "lp.npz", **flat)
+    metric = lp.LPIPSMetric(str(tmp_path / "lp.npz"))
+    assert metric.metric_name == "lpips"
+
+    rng = np.random.default_rng(4)
+    im0 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    im1 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+
+    # torch reference of the official LPIPS computation
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def torch_lpips(a, b):
+        xs = []
+        for im in (a, b):
+            x = torch.from_numpy(im.transpose(2, 0, 1)[None].copy()) * 2 - 1
+            x = (x - shift) / scale
+            taps = []
+            for i, m in enumerate(features):
+                x = m(x)
+                if i in (1, 4, 7, 9, 11):
+                    taps.append(x)
+            xs.append(taps)
+        total = 0.0
+        for i, (ta, tb) in enumerate(zip(*xs)):
+            na = ta / (ta.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = tb / (tb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            total = total + F.conv2d(d, lins[i]).mean([2, 3])
+        return float(total)
+
+    with torch.no_grad():
+        want = torch_lpips(im0, im1)
+    got = metric(im0, im1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    # fallback path: no checkpoint -> deterministic rand-feat metric
+    fb = lp.LPIPSMetric(None)
+    assert fb.metric_name == "lpips_randfeat"
+    v1, v2 = fb(im0, im1), fb(im0, im1)
+    assert v1 == v2 and np.isfinite(v1) and fb(im0, im0) < v1
+
+
 def test_checkpoint_flat_loader(tmp_path):
     from nicer_slam_tpu.models.dpt import _load_flat_into
 

@@ -72,7 +72,7 @@ def test_render_shapes_and_finiteness(scene):
     assert out["sdf"].shape == (R, S_total)
     assert out["weights"].shape == (R, S_total)
     assert out["grad_theta"].shape == (R * 11, 3)
-    assert out["warp_sampled_rgb"].shape == (2, R, 3)
+    assert out["warp_sampled_rgb_1"].shape == (2, R, 1, 3)
     assert float(out["voxels"].sum()) > 0
     for k in ("rgb_values", "depth_values", "normal_map"):
         assert np.isfinite(np.asarray(out[k])).all(), k
@@ -133,6 +133,90 @@ def test_param_gradients_flow_second_order(scene):
     assert np.abs(g_coarse).max() == 0
     g_mlp = np.asarray(g["implicit"]["coarse"]["lins"][0]["v"])
     assert np.abs(g_mlp).max() > 0  # but its MLP does receive gradient
+
+
+def test_warp_patches_and_ssim(scene):
+    """Warp machinery with patchsize>1 (network.py:177-279): patch outputs
+    have [S,R,ps^2(,3)] shapes; at identical poses the warp of a slot into
+    itself is the identity, so sampled == gt on in-bounds patch pixels; the
+    depth-variance mask kills high-variance patches; and both l1 and SSIM
+    warp losses are finite with parameter gradients flowing."""
+    cfg, params, voxels = scene
+    cfg = cfg._replace(patchsizes=(1, 5))
+    R, S = 8, 2
+    batch = make_batch(cfg, R=R, S=S)
+    # integer pixel centers away from the border so 5x5 patches stay inside
+    rng = np.random.default_rng(3)
+    uv = np.stack([rng.integers(4, cfg.W - 4, R),
+                   rng.integers(4, cfg.H - 4, R)], -1).astype(np.float32)
+    batch = batch._replace(uv=jnp.asarray(uv))
+    HW = cfg.H * cfg.W
+    # smooth image: the reference's grid_sample convention (normalize by W,
+    # align_corners=True) samples at u*(W-1)/W — up to ~1px off the integer
+    # gt sample — so the identity-warp check needs low image frequency
+    ys, xs = np.mgrid[0:cfg.H, 0:cfg.W]
+    grad_img = np.stack([xs / cfg.W, ys / cfg.H,
+                         np.full_like(xs, 0.5, dtype=float)], -1)
+    full_rgb = jnp.asarray(np.tile(grad_img.reshape(1, HW, 3), (S, 1, 1))
+                           .astype(np.float32))
+    flat_depth = np.full((S, HW), 0.5, np.float32)
+    flat_depth[1, : HW // 2] = 5.0       # slot-1 depth edge -> high variance
+    out = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg, p, v, b, k, stage="fine", is_mapping=True,
+        full_rgb=full_rgb, full_depth=jnp.asarray(flat_depth)))(
+        params, voxels, batch, jax.random.PRNGKey(6))
+
+    assert out["warp_sampled_rgb_5"].shape == (S, R, 25, 3)
+    assert out["warp_gt_rgb_5"].shape == (R, 25, 3)
+    assert out["warp_mask_5"].shape == (S, R, 25)
+
+    # identical poses: the warp into the ray's OWN slot is the identity, so
+    # the bilinear sample equals the integer gt sample wherever masked
+    samp = np.asarray(out["warp_sampled_rgb_5"])
+    gtp = np.asarray(out["warp_gt_rgb_5"])
+    m = np.asarray(out["warp_mask_5"])
+    slot = np.asarray(batch.kf_slot)
+    for r in range(R):
+        s = slot[r]
+        sel = m[s, r]
+        if sel.any():
+            np.testing.assert_allclose(samp[s, r][sel], gtp[r][sel],
+                                       atol=5e-2)
+
+    # the depth-variance mask masks patches whose mono-depth patch variance
+    # exceeds 0.01 (constant-depth slot-0 rays survive)
+    var_rows = [r for r in range(R) if slot[r] == 0]
+    assert m[:, var_rows].any()
+
+    # both warp loss types: finite, and grads flow into the hash grids
+    from nicer_slam_tpu.models.losses import LossConfig, compute_losses
+
+    gt = {
+        "rgb": full_rgb[jnp.asarray(slot), (uv[:, 1].astype(int) * cfg.W
+                                            + uv[:, 0].astype(int))],
+        "depth": jnp.full((R, 1), 0.5),
+        "normal": jnp.ones((R, 3)),
+        "gt_depth": jnp.full((R, 1), 0.5),
+        "mask": jnp.ones((R, 1)),
+    }
+    for wtype in ("l1", "ssim"):
+        lcfg = LossConfig(warp_loss_weight=0.5, warp_loss_type=wtype,
+                          rgb_loss_weight=1.0)
+
+        def loss_fn(p):
+            o = sm.render_rays(cfg, p, voxels, batch, jax.random.PRNGKey(7),
+                               stage="fine", is_mapping=True,
+                               full_rgb=full_rgb,
+                               full_depth=jnp.asarray(flat_depth))
+            t = compute_losses(lcfg, o, gt, batch, stage="fine",
+                               is_first_frame=False, num_slots=S)
+            return t["loss"], t["warp_loss"]
+
+        (loss, wl), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            params)
+        assert np.isfinite(float(loss)) and np.isfinite(float(wl)), wtype
+        g_fine = np.asarray(g["implicit"]["fine"]["encoding"])
+        assert np.isfinite(g_fine).all() and np.abs(g_fine).max() > 0, wtype
 
 
 def test_flow_prediction_identity_pose(scene):
