@@ -4,11 +4,15 @@ Reference: preprocess/extract_flows.py — GMFlow bidirectional flow on
 keyframe pairs (interval 10, radius 3 keyframes, thresh 30), forward/backward
 consistency check -> occlusion PNGs (0 = usable), lzma .npy flows.
 
-Backends:
+Backends, in resolution order:
   * ``ckpt``: a converted JAX GMFlow checkpoint (models/gmflow.py).
-  * geometric fallback: exact flow from GT depth + poses with
-    forward/backward depth-consistency occlusion — functional end-to-end on
-    depth-equipped datasets without the external model.
+  * classical RGB-only: pyramidal Horn-Schunck with warping — real flow
+    computed from the images alone (no depth, no poses); used whenever no
+    checkpoint is given and the scan has no gt_depth pngs, keeping the
+    RGB-only pipeline honest. Lower quality than GMFlow on large motions.
+  * geometric: exact flow from GT depth + poses with forward/backward
+    depth-consistency occlusion — the highest-fidelity option on
+    depth-equipped scans (synthetic tests/benches).
 """
 
 from __future__ import annotations
@@ -61,6 +65,84 @@ def occlusion_from_depth(depth_i, depth_j, c2w_i, c2w_j, K,
     return flow, usable
 
 
+def _bilinear_warp(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Sample img [H,W] at (x+u, y+v), edge-clamped."""
+    H, W = img.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    x = np.clip(xs + u, 0, W - 1.001)
+    y = np.clip(ys + v, 0, H - 1.001)
+    x0 = x.astype(np.int64)
+    y0 = y.astype(np.int64)
+    fx, fy = x - x0, y - y0
+    return ((1 - fx) * (1 - fy) * img[y0, x0]
+            + fx * (1 - fy) * img[y0, x0 + 1]
+            + (1 - fx) * fy * img[y0 + 1, x0]
+            + fx * fy * img[y0 + 1, x0 + 1])
+
+
+def _box3(a: np.ndarray) -> np.ndarray:
+    """3x3 box filter, edge-replicated."""
+    p = np.pad(a, 1, mode="edge")
+    return sum(p[i:i + a.shape[0], j:j + a.shape[1]]
+               for i in range(3) for j in range(3)) / 9.0
+
+
+def _downsample2(a: np.ndarray) -> np.ndarray:
+    H2, W2 = a.shape[0] // 2 * 2, a.shape[1] // 2 * 2
+    a = a[:H2, :W2]
+    return 0.25 * (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2]
+                   + a[1::2, 1::2])
+
+
+def classical_flow(img0: np.ndarray, img1: np.ndarray, n_levels: int = 5,
+                   n_iters: int = 80, alpha: float = 12.0) -> np.ndarray:
+    """Pyramidal Horn-Schunck optical flow with warping (RGB-only; no
+    learned weights, no depth). img0/img1 [H,W,3] in [0,1] -> flow [H,W,2]
+    in pixels (0 -> 1)."""
+    # classic HS alphas assume 0-255 intensity units
+    g0 = img0.mean(-1).astype(np.float64) * 255.0
+    g1 = img1.mean(-1).astype(np.float64) * 255.0
+    pyr0, pyr1 = [g0], [g1]
+    for _ in range(n_levels - 1):
+        if min(pyr0[-1].shape) < 16:
+            break
+        pyr0.append(_downsample2(pyr0[-1]))
+        pyr1.append(_downsample2(pyr1[-1]))
+
+    u = np.zeros_like(pyr0[-1])
+    v = np.zeros_like(pyr0[-1])
+    a2 = alpha * alpha
+    for lvl in range(len(pyr0) - 1, -1, -1):
+        a0, b0 = pyr0[lvl], pyr1[lvl]
+        if u.shape != a0.shape:
+            sy = a0.shape[0] / u.shape[0]
+            sx = a0.shape[1] / u.shape[1]
+            yi = np.minimum((np.arange(a0.shape[0]) / sy).astype(int),
+                            u.shape[0] - 1)
+            xi = np.minimum((np.arange(a0.shape[1]) / sx).astype(int),
+                            u.shape[1] - 1)
+            u = u[yi][:, xi] * sx
+            v = v[yi][:, xi] * sy
+        # warp img1 toward img0 by the current flow, solve for the increment
+        for _ in range(3):  # warping iterations per level
+            w1 = _bilinear_warp(b0, u, v)
+            Ix = 0.5 * (np.gradient(a0, axis=1) + np.gradient(w1, axis=1))
+            Iy = 0.5 * (np.gradient(a0, axis=0) + np.gradient(w1, axis=0))
+            It = w1 - a0
+            du = np.zeros_like(u)
+            dv = np.zeros_like(v)
+            denom = a2 + Ix * Ix + Iy * Iy
+            for _ in range(n_iters // 3):
+                du_avg = _box3(du)
+                dv_avg = _box3(dv)
+                t = (Ix * du_avg + Iy * dv_avg + It) / denom
+                du = du_avg - Ix * t
+                dv = dv_avg - Iy * t
+            u = u + du
+            v = v + dv
+    return np.stack([u, v], -1).astype(np.float32)
+
+
 def _pairs(frame_ids, thresh: int = 30):
     out = []
     for i in frame_ids:
@@ -73,7 +155,8 @@ def _pairs(frame_ids, thresh: int = 30):
 def extract_flows(img_path: str, output_path: str, ckpt: Optional[str] = None,
                   keyframe_every: int = 10, thresh: int = 30,
                   gt_depth_png_scale: float = 6553.5,
-                  fwd_bwd_tol: float = 1.0) -> None:
+                  fwd_bwd_tol: float = 1.0,
+                  rgb_only: bool = False) -> None:
     os.makedirs(output_path, exist_ok=True)
     import cv2
     import imageio.v2 as imageio
@@ -84,10 +167,16 @@ def extract_flows(img_path: str, output_path: str, ckpt: Optional[str] = None,
     kf_ids = list(range(0, n, keyframe_every))
     pairs = _pairs(kf_ids, thresh)
 
-    if ckpt and os.path.exists(ckpt):
-        from ..models.gmflow import GMFlowInference
+    use_model = ckpt and os.path.exists(ckpt)
+    have_depth = bool(glob(os.path.join(img_path, "*_gt_depth.png")))
+    if use_model or rgb_only or not have_depth:
+        if use_model:
+            from ..models.gmflow import GMFlowInference
 
-        model = GMFlowInference(ckpt)
+            model = GMFlowInference(ckpt)
+        else:
+            # classical RGB-only fallback (no weights, no depth, no poses)
+            model = classical_flow
         cache = {}
 
         def get_img(i):

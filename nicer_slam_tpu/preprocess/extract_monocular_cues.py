@@ -5,14 +5,18 @@ Reference: preprocess/extract_monocular_cues.py — runs the Omnidata DPT
 resolution, stores lzma-compressed .npy (depth [H,W] in ~[0,1], normal
 [3,H,W] in [0,1]).
 
-Two backends:
+Backends, in resolution order:
   * ``ckpt``: a converted JAX DPT checkpoint (see models/dpt.py +
     tools/convert_omnidata.py). The official weights cannot be fetched in
     this offline environment, so this path is gated on the file existing.
+  * ``mono_prior``: the self-trained RGB-only prior (models/mono_prior.py,
+    tools/train_mono_prior.py) — real RGB->geometry prediction, no GT depth
+    read; used whenever mono_prior.npz exists and no DPT ckpt is given.
   * ``from_gt_depth``: synthesize the cues from the scan's own GT depth —
     depth prior = normalized GT depth, normal prior = camera-space normals
-    from depth derivatives. Lets the full SLAM loss stack run end-to-end on
-    depth-equipped datasets (Replica/7-Scenes) without external models.
+    from depth derivatives. The highest-fidelity option on depth-equipped
+    datasets (Replica/7-Scenes); pass --prefer_gt to choose it over the
+    mono prior.
 """
 
 from __future__ import annotations
@@ -55,11 +59,19 @@ def _save_lzma(path: str, arr: np.ndarray) -> None:
         np.save(f, arr.astype(np.float32))
 
 
+def _default_mono_prior_path() -> str:
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "mono_prior.npz")
+
+
 def extract_cues(img_path: str, output_path: str,
                  depth_ckpt: Optional[str] = None,
                  normal_ckpt: Optional[str] = None,
                  from_gt_depth: bool = True,
-                 gt_depth_png_scale: float = 6553.5) -> None:
+                 gt_depth_png_scale: float = 6553.5,
+                 mono_prior_ckpt: Optional[str] = None,
+                 prefer_gt: bool = False) -> None:
     os.makedirs(output_path, exist_ok=True)
     rgbs = (sorted(glob(os.path.join(img_path, "*_rgb.png")))
             + sorted(glob(os.path.join(img_path, "*_rgb.jpg"))))
@@ -84,10 +96,28 @@ def extract_cues(img_path: str, output_path: str,
                            normal)
         return
 
+    # RGB-only path: the self-trained mono prior — no GT depth read
+    mp_path = mono_prior_ckpt or _default_mono_prior_path()
+    if not prefer_gt and os.path.exists(mp_path):
+        from ..models.mono_prior import MonoPriorInference
+
+        model = MonoPriorInference(mp_path)
+        for rp in rgbs:
+            import imageio.v2 as imageio
+
+            img = np.asarray(imageio.imread(rp), np.float32)[..., :3] / 255.0
+            stem = os.path.basename(rp).split("_")[0]
+            depth, normal01 = model(img)
+            _save_lzma(os.path.join(output_path, f"{stem}_depth.npy"), depth)
+            _save_lzma(os.path.join(output_path, f"{stem}_normal.npy"),
+                       normal01)
+        return
+
     if not from_gt_depth:
         raise FileNotFoundError(
-            "no DPT checkpoint available and from_gt_depth disabled — "
-            "convert Omnidata weights with tools/convert_omnidata.py")
+            "no DPT checkpoint or mono_prior.npz available and from_gt_depth "
+            "disabled — convert Omnidata weights (tools/convert_omnidata.py) "
+            "or train the RGB-only prior (tools/train_mono_prior.py)")
 
     # geometric fallback from GT depth
     import cv2
@@ -119,10 +149,15 @@ def main(argv=None):
     p.add_argument("--output_path", required=True)
     p.add_argument("--depth_ckpt", default=None)
     p.add_argument("--normal_ckpt", default=None)
+    p.add_argument("--mono_prior_ckpt", default=None)
     p.add_argument("--no_gt_fallback", action="store_true")
+    p.add_argument("--prefer_gt", action="store_true",
+                   help="use the GT-depth fallback even when the RGB-only "
+                        "mono prior is available")
     a = p.parse_args(argv)
     extract_cues(a.img_path, a.output_path, a.depth_ckpt, a.normal_ckpt,
-                 from_gt_depth=not a.no_gt_fallback)
+                 from_gt_depth=not a.no_gt_fallback,
+                 mono_prior_ckpt=a.mono_prior_ckpt, prefer_gt=a.prefer_gt)
 
 
 if __name__ == "__main__":

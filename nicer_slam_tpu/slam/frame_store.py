@@ -53,7 +53,13 @@ class FrameStore:
             return self._row_of_frame[frame_id]
         if is_keyframe:
             row = self._next_kf_row
-            assert row < self.n_kf_rows, "keyframe rows exhausted"
+            if row >= self.n_kf_rows:
+                raise RuntimeError(
+                    f"FrameStore keyframe rows exhausted staging frame "
+                    f"{frame_id}: capacity {self.n_kf_rows} keyframe rows "
+                    f"(+{self.n_recent_rows} recent). The runner sizes this "
+                    f"as n_images // keyframe_every + 2 — check that the "
+                    f"conf's n_images covers the sequence actually fed in.")
             self._next_kf_row += 1
         else:
             row = self.n_kf_rows + (self._next_recent % self.n_recent_rows)

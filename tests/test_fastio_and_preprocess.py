@@ -52,6 +52,92 @@ def test_prefetch_pool(npy_files):
     pool.close()
 
 
+def test_rgb_only_mono_prior_pipeline(tmp_path):
+    """VERDICT item 4: extract_monocular_cues must run WITHOUT
+    *_gt_depth.png — train a tiny mono prior (few steps, pipeline proof)
+    and extract cues from a directory containing only RGB."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.train_mono_prior import train
+
+    ckpt = str(tmp_path / "mp.npz")
+    train(steps=5, n_scenes=1, frames_per_scene=2, H=32, W=48, batch=2,
+          out=ckpt)
+    assert os.path.exists(ckpt)
+
+    # rgb-only scan dir (no gt_depth, no cameras needed for this path)
+    import imageio.v2 as imageio
+
+    scan = tmp_path / "scan"
+    scan.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        imageio.imwrite(str(scan / f"{i:06d}_rgb.png"),
+                        rng.integers(0, 255, (32, 48, 3), np.uint8))
+
+    from nicer_slam_tpu.preprocess.extract_monocular_cues import extract_cues
+
+    extract_cues(str(scan), str(scan), mono_prior_ckpt=ckpt)
+    from nicer_slam_tpu.utils.fastio import load_npy
+
+    d = load_npy(str(scan / "000000_depth.npy"))
+    n = load_npy(str(scan / "000000_normal.npy"))
+    assert d.shape == (32, 48) and np.isfinite(d).all()
+    assert 0 <= d.min() and d.max() <= 1
+    assert n.shape == (3, 32, 48) and np.isfinite(n).all()
+
+    # without the prior AND without gt depth, the gt fallback must raise a
+    # clear error rather than silently reading depth that isn't there
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        extract_cues(str(scan), str(scan), mono_prior_ckpt=str(tmp_path / "x.npz"),
+                     from_gt_depth=False)
+
+
+def test_classical_flow_known_shift(tmp_path):
+    """The RGB-only classical flow recovers a known integer translation."""
+    from nicer_slam_tpu.preprocess.extract_flows import classical_flow
+
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 1, (80, 104))
+    # smooth the pattern so the variational solver has gradients to follow
+    for _ in range(3):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5.0
+    img0 = np.stack([base] * 3, -1)
+    # roll content right by 3: pixel x in img0 appears at x+3 in img1
+    img1 = np.stack([np.roll(base, (0, 3), (0, 1))] * 3, -1)
+    flow = classical_flow(img0, img1)
+    inner = flow[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - 3.0) < 1.0
+    assert abs(np.median(inner[..., 1])) < 1.0
+
+
+def test_extract_flows_rgb_only(tmp_path):
+    """extract_flows runs with neither a checkpoint nor gt_depth pngs."""
+    import imageio.v2 as imageio
+
+    from nicer_slam_tpu.preprocess.extract_flows import extract_flows
+
+    scan = tmp_path / "scan"
+    scan.mkdir()
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0, 1, (40, 56))
+    for _ in range(3):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5.0
+    for i, sh in enumerate((0, 2)):
+        img = np.stack([np.roll(base, (0, sh), (0, 1))] * 3, -1)
+        imageio.imwrite(str(scan / f"{i:06d}_rgb.png"),
+                        (img * 255).astype(np.uint8))
+    out = tmp_path / "pair"
+    extract_flows(str(scan), str(out), keyframe_every=1, thresh=30)
+    assert os.path.exists(str(out / "0000_0001_flow.npy"))
+    assert os.path.exists(str(out / "0001_0000_occ.png"))
+
+
 def test_tsdf_fusion_sphere():
     """Fuse synthetic depth renders of a sphere -> mesh near radius."""
     from nicer_slam_tpu.datasets.synthetic import camera_trajectory

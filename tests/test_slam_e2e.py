@@ -160,16 +160,19 @@ def test_runner_completes_and_checkpoints(runner):
 
 
 def test_tracking_stays_near_gt(runner):
-    """Sanity at CPU-affordable iteration counts: poses stay finite and
-    bounded (true convergence is validated by tools/convergence_probe.py at
-    realistic iteration/ray budgets on TPU)."""
+    """Regime-appropriate quality gate at CPU-affordable budgets (12 iters,
+    192 rays): measured mean translation error is ~0.11 (max ~0.14); the
+    bound is 3x that margin so real regressions trip it. True convergence
+    (ATE 0.007-0.03) is validated by tools/convergence_probe.py at realistic
+    iteration/ray budgets on TPU (BASELINE.md)."""
     errs = []
     for i in range(1, 9):
         est = runner.est_pose_all[i]
         gt = runner.dataset.gt_pose_all[i]
         assert np.isfinite(est).all()
         errs.append(np.linalg.norm(est[:3, 3] - gt[:3, 3]))
-    assert np.mean(errs) < 0.8, errs
+    assert np.mean(errs) < 0.30, errs
+    assert np.max(errs) < 0.45, errs
 
 
 def test_full_image_render(runner):
