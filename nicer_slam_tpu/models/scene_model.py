@@ -97,10 +97,15 @@ def init_voxels(cfg: SceneConfig) -> jnp.ndarray:
 
 def build_density_cache(cfg: SceneConfig, params: Dict[str, Any],
                         voxels: jnp.ndarray, beta_scale=None) -> jnp.ndarray:
-    """Dense prepass-density volume [res^3]: full-network SDF (packed-bf16
-    inference) + the voxel-counter beta, evaluated on a uniform grid. The
-    importance sampler reads this with one gather per sample (prepass_mode
-    "cached"); refreshed periodically by the runner."""
+    """Cell-blocked prepass-density volume [res^3, 8]: full-network SDF
+    (packed-bf16 inference) + the voxel-counter beta on a uniform
+    linspace(-1,1,res) grid, with row ``cell`` holding the cell's 8 corner
+    densities (built by 8 cheap rolls). The importance sampler TRILINEARLY
+    interpolates this with ONE row gather per sample (prepass_mode
+    "cached"); refreshed periodically by the runner. Trilinear (vs the
+    earlier nearest-neighbor read) keeps the sample-placement density C0 —
+    the placement noise of the nearest cache was a measured tracking-drift
+    contributor (BASELINE.md cached-vs-exact gap)."""
     res = cfg.sampler.prepass_cache_res
     xs = jnp.linspace(-1.0, 1.0, res)
     grid = jnp.stack(jnp.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
@@ -113,7 +118,38 @@ def build_density_cache(cfg: SceneConfig, params: Dict[str, Any],
 
     n_chunks = 16
     out = jax.lax.map(chunk_fn, grid.reshape(n_chunks, -1, 3))
-    return out.reshape(-1)
+    vol = out.reshape(res, res, res)
+    blocks = []
+    for c in range(8):
+        v = vol
+        if c & 1:
+            v = jnp.roll(v, -1, axis=0)
+        if c & 2:
+            v = jnp.roll(v, -1, axis=1)
+        if c & 4:
+            v = jnp.roll(v, -1, axis=2)
+        blocks.append(v.reshape(-1))
+    return jnp.stack(blocks, axis=-1)                 # [res^3, 8]
+
+
+def _density_cache_lookup(density_cache: jnp.ndarray, res: int,
+                          pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of the blocked cache: [N,3] -> [N]."""
+    g = (pts + 1.0) * (0.5 * (res - 1))
+    g0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, res - 2)
+    f = jnp.clip(g - g0.astype(g.dtype), 0.0, 1.0)
+    flat = (g0[:, 0] * res + g0[:, 1]) * res + g0[:, 2]
+    rows = density_cache[flat]                        # [N, 8]
+    wx = jnp.stack([1.0 - f[:, 0], f[:, 0]], -1)      # [N, 2]
+    wy = jnp.stack([1.0 - f[:, 1], f[:, 1]], -1)
+    wz = jnp.stack([1.0 - f[:, 2], f[:, 2]], -1)
+    # corner c: bit0 -> dim0, bit1 -> dim1, bit2 -> dim2 (build order above)
+    w = (wx[:, (0, 1, 0, 1, 0, 1, 0, 1)]
+         * wy[:, (0, 0, 1, 1, 0, 0, 1, 1)]
+         * wz[:, (0, 0, 0, 0, 1, 1, 1, 1)])           # [N, 8]
+    dens = (rows * w).sum(-1)
+    inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
+    return jnp.where(inb, dens, 0.0)
 
 
 class RayBatch(NamedTuple):
@@ -163,7 +199,7 @@ def render_rays(
     edges: Optional[FlowEdges] = None,
     full_rgb: Optional[jnp.ndarray] = None,   # [S, H*W, 3] float in [0,1]
     full_depth: Optional[jnp.ndarray] = None,  # [S, H*W] mono depth (warp ps>1)
-    density_cache: Optional[jnp.ndarray] = None,  # [res^3] prepass density
+    density_cache: Optional[jnp.ndarray] = None,  # [res^3, 8] blocked prepass density
     beta_scale: Optional[jnp.ndarray] = None,  # density warmup multiplier
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass over a flat ray batch (network.py:78-347 equivalent).
@@ -191,10 +227,7 @@ def render_rays(
             return jnp.zeros((pts.shape[0],), pts.dtype)  # unused
 
         def density_prepass(sdf, pts):
-            u = jnp.clip((pts + 1.0) * (0.5 * res), 0, res - 1).astype(jnp.int32)
-            flat = (u[:, 0] * res + u[:, 1]) * res + u[:, 2]
-            inb = jnp.all(jnp.abs(pts) <= 1.0, axis=-1)
-            return jnp.where(inb, density_cache[flat], 0.0)
+            return _density_cache_lookup(density_cache, res, pts)
     else:
         if not cfg.combine.fine.concat_coarse_feature:
             packed_tables = fields.pack_combine_tables(cfg.combine,

@@ -167,10 +167,12 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
     (hashencoder.cu:131-283): smoothstep-weighted 2^D-corner interpolation
     per level, zero output for out-of-[0,1] inputs.
 
-    TPU layout note: all large intermediates keep the POINT axis as the
-    minor (lane) dimension — a ``[N·2^D, C]`` gather with C=2..8 would be
-    lane-padded to 128 on TPU, a 16-64x HBM blowup at the 5M-point prepass
-    scale. Here gathers produce ``[C, 2^D, N]`` instead.
+    TPU layout note: hashed-level lookups are ROW gathers from a [T, C]
+    view (measured ~5x cheaper than element-indexed scalar gathers at
+    these shapes; see the row-gather block below), fused straight into the
+    N-major [N, L*C] feature matrix the decoder MLP consumes. Gradients
+    transpose through scalar scatter-adds (the fast scatter direction) via
+    _row_corner_gather's custom_jvp.
     """
     D = spec.input_dim
     prefix = x.shape[:-1]
@@ -184,12 +186,16 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
 
     C = spec.level_dim
     T = spec.total_entries
-    # flattened (channel, entry) indexing: the gather output is exactly
-    # index-shaped [C, 2^D, N] with the big axis minor — XLA's vector-row
-    # gather would materialize an [2^D·N, C] intermediate whose tiny C gets
-    # lane-padded to 128 (16-64x HBM blowup).
+    # layout notes: hashed-level gathers fetch [T, C] ROWS (cheap on TPU;
+    # ~one scalar's cost buys the whole C-wide row — see the row-gather
+    # block below), accumulated N-major [N, C] straight into the [N, L*C]
+    # feature matrix the decoder MLP consumes. The scalar fallback keeps
+    # the index-shaped [C, 2^D, N] formulation (big axis minor).
     emb_flat = embeddings.reshape(-1)                  # [C*T]
     chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
+    scalar_lvls = [l for l in range(spec.num_levels)
+                   if not (DENSE_BLOCK and spec.dense[l] and D == 3)]
+    emb_tc = (embeddings.T if ROW_GATHER_TRAIN and scalar_lvls else None)
 
     outs = []
     for lvl in range(spec.num_levels):
@@ -207,21 +213,27 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
 
         corner_xyz = left_i[None, :, :] + corners[:, :, None]      # [2^D,D,N]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D, N]
-        vals = emb_flat[rows[None, :, :] + chan_off]               # [C,2^D,N]
-        # tag for remat policy: hashed-level gathers are the expensive op —
-        # scene_model's jax.checkpoint saves these and recomputes the rest
-        vals = _checkpoint_name(vals, "hash_gather")
         # weight per corner = prod over dims of (wb if bit else wa)
         w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
         for d in range(D):
             bit = corners[:, d:d + 1]                              # [2^D,1]
             w = w * jnp.where(bit == 1, wb[d][None, :], wa[d][None, :])
-        out = (w[None, :, :] * vals).sum(axis=1)                   # [C, N]
+        if emb_tc is not None:
+            vals = _row_corner_gather(embeddings, emb_tc, rows)    # [2^D,N,C]
+            # tag for remat policy: hashed-level gathers are the expensive
+            # op — scene_model's jax.checkpoint saves these and recomputes
+            # the rest
+            vals = _checkpoint_name(vals, "hash_gather")
+            out = (w[:, :, None] * vals).sum(axis=0)               # [N, C]
+        else:
+            vals = emb_flat[rows[None, :, :] + chan_off]           # [C,2^D,N]
+            vals = _checkpoint_name(vals, "hash_gather")
+            out = (w[None, :, :] * vals).sum(axis=1).T             # [N, C]
         outs.append(out)
 
-    feats = jnp.concatenate(outs, axis=0)                          # [L*C, N]
-    feats = jnp.where(oob[None, :], 0.0, feats)
-    return feats.T.reshape(*prefix, spec.output_dim)
+    feats = jnp.concatenate(outs, axis=-1)                         # [N, L*C]
+    feats = jnp.where(oob[:, None], 0.0, feats)
+    return feats.reshape(*prefix, spec.output_dim)
 
 
 def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
@@ -257,6 +269,9 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
     T = spec.total_entries
     emb_flat = embeddings.reshape(-1)
     chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
+    scalar_lvls = [l for l in range(spec.num_levels)
+                   if not (DENSE_BLOCK and spec.dense[l] and D == 3)]
+    emb_tc = (embeddings.T if ROW_GATHER_TRAIN and scalar_lvls else None)
 
     outs = []
     douts = []
@@ -298,28 +313,37 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
             sel_mat = jnp.asarray(
                 np.tile(np.eye(C, dtype=np.float32), (corners.shape[0], 1)))
             w_exp = jnp.repeat(w.T, C, axis=1)                   # [N, 8C]
-            outs.append(((rows * w_exp) @ sel_mat).T)            # [C, N]
+            outs.append((rows * w_exp) @ sel_mat)                # [N, C]
             dlvl = []
             for d in range(D):
                 dw_exp = jnp.repeat(dws[d].T, C, axis=1)
-                dlvl.append(((rows * dw_exp) @ sel_mat).T)       # [C, N]
+                dlvl.append((rows * dw_exp) @ sel_mat)           # [N, C]
+        elif emb_tc is not None:
+            left_i = left.astype(jnp.int32)
+            corner_xyz = left_i[None, :, :] + corners[:, :, None]
+            rows_idx = _level_indices_t(spec, lvl, corner_xyz)       # [2^D,N]
+            vals = _row_corner_gather(embeddings, emb_tc, rows_idx)  # [2^D,N,C]
+            vals = _checkpoint_name(vals, "hash_gather")
+            outs.append((w[:, :, None] * vals).sum(axis=0))          # [N, C]
+            dlvl = [(dws[d][:, :, None] * vals).sum(axis=0)
+                    for d in range(D)]
         else:
             left_i = left.astype(jnp.int32)
             corner_xyz = left_i[None, :, :] + corners[:, :, None]
             rows_idx = _level_indices_t(spec, lvl, corner_xyz)       # [2^D,N]
             vals = emb_flat[rows_idx[None, :, :] + chan_off]         # [C,2^D,N]
             vals = _checkpoint_name(vals, "hash_gather")
-            outs.append(jnp.einsum("kn,ckn->cn", w, vals))           # [C, N]
-            dlvl = [jnp.einsum("kn,ckn->cn", dws[d], vals)
+            outs.append(jnp.einsum("kn,ckn->cn", w, vals).T)         # [N, C]
+            dlvl = [jnp.einsum("kn,ckn->cn", dws[d], vals).T
                     for d in range(D)]
-        douts.append(jnp.stack(dlvl, axis=1))                        # [C,D,N]
+        douts.append(jnp.stack(dlvl, axis=2))                        # [N,C,D]
 
-    feats = jnp.concatenate(outs, axis=0)                          # [L*C, N]
-    dfeat = jnp.concatenate(douts, axis=0)                         # [L*C,D,N]
-    feats = jnp.where(oob[None, :], 0.0, feats)
-    dfeat = jnp.where(oob[None, None, :], 0.0, dfeat)
-    feats = feats.T.reshape(*prefix, spec.output_dim)
-    dfeat = dfeat.transpose(2, 0, 1).reshape(*prefix, spec.output_dim, D)
+    feats = jnp.concatenate(outs, axis=-1)                         # [N, L*C]
+    dfeat = jnp.concatenate(douts, axis=1)                         # [N,L*C,D]
+    feats = jnp.where(oob[:, None], 0.0, feats)
+    dfeat = jnp.where(oob[:, None, None], 0.0, dfeat)
+    feats = feats.reshape(*prefix, spec.output_dim)
+    dfeat = dfeat.reshape(*prefix, spec.output_dim, D)
     return feats, dfeat
 
 
@@ -385,7 +409,7 @@ def _dense_block_table(spec: HashGridSpec, embeddings: jnp.ndarray,
 
 def _encode_level_dense_blocked(spec: HashGridSpec, embeddings, lvl,
                                 u_t, corners):
-    """One dense level via the cell-block table: returns [C, N]."""
+    """One dense level via the cell-block table: returns [N, C]."""
     res = spec.resolutions[lvl]
     C = spec.level_dim
     scale = spec.scales[lvl]
@@ -408,8 +432,52 @@ def _encode_level_dense_blocked(spec: HashGridSpec, embeddings, lvl,
     w_exp = jnp.repeat(w.T, C, axis=1)                       # [N, 8C]
     # group-sum columns k*C+c -> c with one constant matmul (MXU)
     sel = jnp.asarray(np.tile(np.eye(C, dtype=np.float32), (corners.shape[0], 1)))
-    out = (rows * w_exp) @ sel                               # [N, C]
-    return out.T
+    return (rows * w_exp) @ sel                              # [N, C]
+
+
+# ---------------------------------------------------------------------------
+# Row-layout TRAINING gather: ~5x cheaper forward, exact f32 both ways.
+#
+# Measured on TPU v5e (tools/microbench, 803k pts x 8 corners, 2^19-entry
+# table): scalar gathers cost ~7 ns/ELEMENT while 4-32-wide ROW gathers
+# cost ~5-12 ns/ROW — fetching a [T, C] table row with all C channels costs
+# about one scalar. The transposed direction inverts: row SCATTER is 2-15x
+# WORSE than scalar scatter. So the optimal pairing is asymmetric:
+#   forward  = row gather from a [T, C] view of the table   (fast)
+#   backward = scalar scatter-add into the [C, T] param     (fast)
+# Encode is LINEAR in the table, so a custom_jvp expresses exactly this:
+# the primal row-gathers a (per-call, CSE'd) transpose; the tangent is the
+# equivalent scalar-flat gather, whose auto-transpose is the scalar
+# scatter. Everything is exact f32 — unlike a bf16-packed gather this has
+# zero quantization. Toggle: ROW_GATHER_TRAIN.
+# ---------------------------------------------------------------------------
+
+ROW_GATHER_TRAIN = True  # module A/B switch for the row-layout train gather
+
+
+@jax.custom_jvp
+def _row_corner_gather(emb: jnp.ndarray, emb_tc: jnp.ndarray,
+                       rows: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable corner gather: rows [K, N] global entry ids ->
+    [K, N, C] f32 values.
+
+    ``emb_tc`` must be ``emb.T`` ([T, C]) — the caller transposes ONCE per
+    encode call so all levels share it. Module-level custom_jvp (no
+    closures over tracers: those leak under jax.checkpoint)."""
+    return emb_tc[rows]                                      # [K, N, C]
+
+
+@_row_corner_gather.defjvp
+def _row_corner_gather_jvp(primals, tangents):
+    emb, emb_tc, rows = primals
+    t_emb = tangents[0]
+    C, T = emb.shape
+    chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
+    # tangent = the equivalent scalar-flat gather (linear in t_emb); its
+    # transpose — what reverse-mode actually executes — is the scalar
+    # scatter-add, the fast direction on TPU.
+    t_out = t_emb.reshape(-1)[rows[None, :, :] + chan_off]   # [C, K, N]
+    return _row_corner_gather(emb, emb_tc, rows), t_out.transpose(1, 2, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -450,9 +518,7 @@ def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
     corners = jnp.asarray(_corner_offsets(D))
     u_t = u.T
 
-    T = spec.total_entries
-    flat = packed.reshape(-1)
-    chan_off = (jnp.arange(Ch, dtype=jnp.int32) * T)[:, None, None]
+    packed_tc = packed.T                                           # [T, Ch]
 
     outs = []
     for lvl in range(spec.num_levels):
@@ -465,7 +531,7 @@ def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
         left_i = left.astype(jnp.int32)
         corner_xyz = left_i[None, :, :] + corners[:, :, None]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D,N]
-        v = flat[rows[None, :, :] + chan_off]                      # [Ch,2^D,N]
+        v = packed_tc[rows]                                        # [2^D,N,Ch]
         hi = jax.lax.bitcast_convert_type(
             (v >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
         lo = jax.lax.bitcast_convert_type(
@@ -475,14 +541,14 @@ def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
         for d in range(D):
             bit = corners[:, d:d + 1]
             w = w * jnp.where(bit == 1, wb[d][None, :], wa[d][None, :])
-        out_hi = (w[None] * hi).sum(axis=1)                        # [Ch, N]
-        out_lo = (w[None] * lo).sum(axis=1)
+        out_hi = (w[:, :, None] * hi).sum(axis=0)                  # [N, Ch]
+        out_lo = (w[:, :, None] * lo).sum(axis=0)
         # interleave back to channel order [c0, c1, c2, ...]
-        out = jnp.stack([out_hi, out_lo], axis=1).reshape(spec.level_dim, N)
+        out = jnp.stack([out_hi, out_lo], axis=2).reshape(N, spec.level_dim)
         outs.append(out)
-    feats = jnp.concatenate(outs, axis=0)
-    feats = jnp.where(oob[None, :], 0.0, feats)
-    return feats.T.reshape(*prefix, spec.output_dim)
+    feats = jnp.concatenate(outs, axis=-1)                         # [N, L*C]
+    feats = jnp.where(oob[:, None], 0.0, feats)
+    return feats.reshape(*prefix, spec.output_dim)
 
 
 # ---------------------------------------------------------------------------

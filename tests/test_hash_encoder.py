@@ -180,6 +180,71 @@ def test_with_grad_differentiable_second_order(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# Row-layout TRAINING gather (custom_jvp linear formulation): the hashed
+# levels' forward fetches [T, C] table rows (the fast gather direction on
+# TPU) while gradients transpose through scalar scatter-adds (the fast
+# scatter direction). Exact f32 both ways.
+# ---------------------------------------------------------------------------
+
+def test_row_gather_matches_scalar_exact(rng):
+    spec = hashed_spec()
+    emb = he.init_hash_params(rng, spec) * 1e3
+    x = jax.random.uniform(jax.random.PRNGKey(11), (257, 3), minval=-0.95,
+                           maxval=0.95)
+    assert he.ROW_GATHER_TRAIN  # default on
+    f_row = np.asarray(he.hash_encode(spec, emb, x))
+    fr, dfr = he.hash_encode_with_grad(spec, emb, x)
+    try:
+        he.ROW_GATHER_TRAIN = False
+        f_sc = np.asarray(he.hash_encode(spec, emb, x))
+        fs, dfs = he.hash_encode_with_grad(spec, emb, x)
+    finally:
+        he.ROW_GATHER_TRAIN = True
+    # same table values, same weights — identical up to f32 summation order
+    np.testing.assert_allclose(f_row, f_sc, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fr), f_sc, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dfr), np.asarray(dfs),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_row_gather_gradient_matches_scalar(rng):
+    """The custom_jvp transpose must be the exact scalar scatter of the
+    output cotangent — identical to the fallback path's gradient."""
+    spec = hashed_spec()
+    emb = he.init_hash_params(rng, spec)
+    x = jax.random.uniform(jax.random.PRNGKey(13), (129, 3), minval=-0.9,
+                           maxval=0.9)
+    cot = jax.random.normal(jax.random.PRNGKey(14),
+                            (129, spec.output_dim), jnp.float32)
+    _, vjp_r = jax.vjp(lambda e: he.hash_encode(spec, e, x), emb)
+    try:
+        he.ROW_GATHER_TRAIN = False
+        _, vjp_s = jax.vjp(lambda e: he.hash_encode(spec, e, x), emb)
+    finally:
+        he.ROW_GATHER_TRAIN = True
+    (gr,) = vjp_r(cot)
+    (gs,) = vjp_s(cot)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gs),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_row_gather_second_order(rng):
+    spec = hashed_spec()
+    emb = he.init_hash_params(rng, spec) * 1e3
+    x = jax.random.uniform(jax.random.PRNGKey(15), (65, 3), minval=-0.9,
+                           maxval=0.9)
+
+    def loss(e):
+        _, df = he.hash_encode_with_grad(spec, e, x)
+        g = df.sum(axis=1)
+        return ((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2).mean()
+
+    ge = jax.jit(jax.grad(loss))(emb)
+    assert np.isfinite(np.asarray(ge)).all()
+    assert np.abs(np.asarray(ge)).max() > 0
+
+
 def test_fields_analytic_outputs_match_vjp(rng):
     from nicer_slam_tpu.models import fields
 

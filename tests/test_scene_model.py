@@ -230,3 +230,43 @@ def test_flow_prediction_identity_pose(scene):
         params, voxels, batch, jax.random.PRNGKey(5))
     flow = np.asarray(out["flow"])  # [1,R,2]
     np.testing.assert_allclose(flow, 0.0, atol=0.1)  # f32 4x4-inverse roundoff
+
+
+def test_density_cache_trilinear_exact():
+    """The blocked prepass cache + trilinear lookup reproduces any
+    trilinear-in-space field exactly (and zeros out-of-bounds points)."""
+    res = 16
+    xs = np.linspace(-1, 1, res)
+    I, J, K = np.meshgrid(xs, xs, xs, indexing="ij")
+    vol = (2.0 * I + 3.0 * J - 1.5 * K + 0.25).astype(np.float32)
+    blocks = []
+    for c in range(8):
+        v = vol
+        if c & 1:
+            v = np.roll(v, -1, axis=0)
+        if c & 2:
+            v = np.roll(v, -1, axis=1)
+        if c & 4:
+            v = np.roll(v, -1, axis=2)
+        blocks.append(v.reshape(-1))
+    cache = jnp.asarray(np.stack(blocks, -1))
+    pts = np.random.default_rng(0).uniform(-0.98, 0.98, (500, 3)).astype(np.float32)
+    got = np.asarray(sm._density_cache_lookup(cache, res, jnp.asarray(pts)))
+    want = 2.0 * pts[:, 0] + 3.0 * pts[:, 1] - 1.5 * pts[:, 2] + 0.25
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    oob = np.asarray(sm._density_cache_lookup(
+        cache, res, jnp.asarray([[1.2, 0.0, 0.0], [0.0, -1.01, 0.0]])))
+    assert np.all(oob == 0.0)
+
+
+def test_build_density_cache_blocked_shape(scene):
+    cfg, params, voxels = scene
+    cache = jax.jit(lambda p, v: sm.build_density_cache(cfg, p, v))(params, voxels)
+    res = cfg.sampler.prepass_cache_res
+    assert cache.shape == (res ** 3, 8)
+    assert np.isfinite(np.asarray(cache)).all()
+    # corner 0 of cell (i,j,k) equals corner 7 of cell (i-1,j-1,k-1):
+    # the blocked rows are consistent views of one volume
+    vol = np.asarray(cache[:, 0]).reshape(res, res, res)
+    c7 = np.asarray(cache[:, 7]).reshape(res, res, res)
+    np.testing.assert_allclose(c7[:-1, :-1, :-1], vol[1:, 1:, 1:], rtol=1e-6)
