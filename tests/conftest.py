@@ -17,7 +17,22 @@ import jax
 # The axon TPU plugin overrides even the JAX_PLATFORMS env var; the config
 # update is the only override that sticks.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/nicer_slam_tpu_jax_cache")
+
+# Machine-keyed CPU cache: XLA:CPU AOT blobs encode host CPU features, and
+# /tmp persists across machine changes here — loading another machine's
+# blobs risks SIGILL/aborts (cpu_aot_loader warns exactly this). Key the
+# TEST cache by the host's feature set; the TPU cache (bench/tools) is
+# machine-independent and keeps the unsuffixed dir.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_mkey = hashlib.md5(_flags.encode()).hexdigest()[:8]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/nicer_slam_tpu_jax_cache_cpu_{_mkey}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

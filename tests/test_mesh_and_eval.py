@@ -75,7 +75,11 @@ def test_psnr_ssim():
     p = M.psnr(img, noisy)
     assert 15 < p < 25
     assert M.ssim(img, noisy) < 0.99
-    assert M.lpips(img, noisy) is None  # gated (no lpips package)
+    # LPIPS is real now (models/lpips.py): 0 for identical images, positive
+    # for perturbed ones
+    d_noisy = M.lpips(img, noisy)
+    assert d_noisy is not None and d_noisy > 0
+    assert abs(M.lpips(img, img)) < 1e-6
 
 
 def make_traj(n=60, noise=0.0, seed=0):
