@@ -15,8 +15,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU hard-aborts the process when partition threads miss a
+    # collective rendezvous (default 40 s) — on a 1-core host under
+    # concurrent compile load, threads get starved for minutes. Be patient
+    # instead of dead.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=900"
+              " --xla_cpu_collective_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import hashlib  # noqa: E402
 
