@@ -136,6 +136,75 @@ def main():
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
     }), flush=True)
 
+    # opt-in demo-mix phase (BENCH_DEMO_MIX=1): the reference baseline
+    # (6200 rays/s) is an ALL-IN blend over the demo schedule — 30 tracking
+    # iters/frame at 1024 rays plus, every 5th frame, 30 mapping iters at
+    # 4096 rays staged 25% coarse/base, 45% fine/base, 30% fine/highfreq
+    # (volsdf_train.py:550-555). This phase executes one representative
+    # 5-frame slice of that schedule and reports the blended rays/s.
+    # Opt-in because it adds ~3 map_step compiles (+track) on a cold cache.
+    if os.environ.get("BENCH_DEMO_MIX"):
+        from nicer_slam_tpu.models.losses import LossConfig
+        from nicer_slam_tpu.slam.tracking import TrackConfig, track_frame
+
+        R_mix = 4096
+        mix_cfg = MapConfig(num_pixels=R_mix, max_slots=Smax, max_edges=4)
+
+        def mix_step(params, opt_state, voxels, poses_q, key, stage, cstage):
+            return map_step(
+                scene_cfg, mix_cfg, loss_cfg, params, opt_state, voxels,
+                optimizer, poses_q, refs,
+                store_rgb, store_depth, store_normal, store_gt_depth,
+                store_mask, key, density_cache, stage=stage,
+                color_stage=cstage, ba=False, is_first_frame=False,
+                use_flow=False)
+
+        tcfg = TrackConfig(num_iters=30, num_pixels=1024, cam_lr=5e-3)
+        from nicer_slam_tpu.utils.camera import tensor_from_camera_np as t_np
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -0.3
+        q0 = jnp.asarray(t_np(pose))
+
+        schedule = ([("coarse", "base")] * 8 + [("fine", "base")] * 13
+                    + [("fine", "highfreq")] * 9)
+        # warmup/compile every variant + tracking
+        for stage, cstage in (("coarse", "base"), ("fine", "base"),
+                              ("fine", "highfreq")):
+            params, opt_state, voxels, poses_q, t_mix = mix_step(
+                params, opt_state, voxels, poses_q, key, stage, cstage)
+        float(t_mix["loss"])
+        bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                                 voxels, store_rgb[0], jnp.asarray(K), q0,
+                                 jax.random.PRNGKey(3), density_cache)
+        float(aux["best_loss"])
+        print(f"[bench] demo-mix compiled t={time.strftime('%H:%M:%S')}",
+              file=sys.stderr, flush=True)
+
+        t0 = time.perf_counter()
+        for f in range(5):
+            bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                                     voxels, store_rgb[f % Smax],
+                                     jnp.asarray(K), q0,
+                                     jax.random.fold_in(key, 100 + f),
+                                     density_cache)
+        for i, (stage, cstage) in enumerate(schedule):
+            if i % 10 == 0:
+                density_cache = cache_fn(params, voxels)
+            params, opt_state, voxels, poses_q, t_mix = mix_step(
+                params, opt_state, voxels, poses_q,
+                jax.random.fold_in(key, 200 + i), stage, cstage)
+        float(t_mix["loss"])
+        float(aux["best_loss"])
+        mix_dt = time.perf_counter() - t0
+        mix_rays = 5 * 30 * 1024 + len(schedule) * R_mix
+        mix_rate = mix_rays / mix_dt
+        print(json.dumps({
+            "metric": "demo_mix_rays_per_sec_all_in",
+            "value": round(mix_rate, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(mix_rate / REFERENCE_RAYS_PER_SEC, 2),
+        }), file=sys.stderr, flush=True)
+
     if os.environ.get("BENCH_SKIP_TRACKING"):
         return
 
