@@ -450,12 +450,14 @@ def rendering_forward(cfg: RenderingNetConfig, params: Dict[str, Any],
     if cfg.use_grid_feature:
         if color_stage == "base":
             # the base stage DETACHES the color grid (base_networks.py:
-            # 336-339) — no gradients flow, so use the packed-bf16 encode
-            # (half the gathers; the color grid is the single largest table)
-            packed = he.pack_table_bf16_pairs(
-                jax.lax.stop_gradient(params["encoding"]))
-            grid_feature = he.hash_encode_packed(cfg.hash_spec(), packed,
-                                                 points)
+            # 336-339): same row-gather encode, under stop_gradient so no
+            # scatter appears in the backward. (A packed-bf16 variant was
+            # used when gathers were element-bound; row gathers are
+            # row-bound, so packing C=2 down to one u32 channel buys
+            # nothing and 1-wide packed rows measured pathologically slow.)
+            grid_feature = he.hash_encode(
+                cfg.hash_spec(), jax.lax.stop_gradient(params["encoding"]),
+                points)
             grid_feature = jax.lax.stop_gradient(grid_feature)
         else:
             grid_feature = he.hash_encode(cfg.hash_spec(), params["encoding"],

@@ -245,9 +245,13 @@ def render_rays(
             return _density(cfg, params, voxels, sdf, pts, beta_scale)
 
     pc = cfg.sampler.prepass_ray_chunk
-    if pc and R > pc and R % pc == 0:
+    cached_prepass = (density_cache is not None
+                      and cfg.sampler.prepass_mode == "cached")
+    if pc and R > pc and R % pc == 0 and not cached_prepass:
         # sequential ray chunks bound the prepass working set (the 640-eval
-        # no-grad pass is ~R*640 points; unchunked it dominates HBM)
+        # no-grad pass is ~R*640 points; unchunked it dominates HBM).
+        # Cached mode skips chunking: one row gather per sample has a tiny
+        # working set and lax.map's serialization is pure overhead there.
         n_chunks = R // pc
         keys = jax.random.split(k_sample, n_chunks)
 

@@ -423,6 +423,9 @@ def _encode_level_dense_blocked(spec: HashGridSpec, embeddings, lvl,
 
     blocked = _dense_block_table(spec, embeddings, lvl)      # [res^3, 8C]
     rows = blocked[cell]                                     # [N, 8C]
+    # saved by the remat policy: recomputing this row gather (plus the
+    # 8-roll block table) in every backward costs real HBM traffic
+    rows = _checkpoint_name(rows, "hash_gather")
 
     # per-corner weights expanded to channel granularity
     w = jnp.ones((corners.shape[0], u_t.shape[1]), dtype=u_t.dtype)

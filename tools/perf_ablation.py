@@ -19,6 +19,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--rays", type=int, default=8192)
+    p.add_argument("--only", type=str, default="",
+                   help="comma-separated substrings filtering variant names")
     a = p.parse_args(argv)
 
     import jax
@@ -122,6 +124,10 @@ def main(argv=None):
         ("fine/highfreq grad exact-prepass", dict(stage="fine", color_stage="highfreq", grad=True, warp=True,
                                                    cache=False)),
     ]
+    if a.only:
+        keys = [k.strip() for k in a.only.split(",") if k.strip()]
+        variants = [(n, kw) for n, kw in variants
+                    if any(k in n for k in keys)]
     print(f"R={R} iters={a.iters}", flush=True)
     for name, kw in variants:
         try:
