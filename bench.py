@@ -1,18 +1,22 @@
-"""Benchmark: mapping throughput (rays/sec/chip) on real TPU hardware.
+"""Benchmark: all-in demo-schedule throughput (rays/sec/chip) on real TPU.
 
-Runs the full flagship (Replica-config) mapping train step — 8192 rays/iter
-through the 640-sample hierarchical prepass, coarse+fine hash-grid SDF with
-second-order gradients, color net, 9-term loss, and 6-group Adam — and
-reports sustained rays/sec on one chip.
+HEADLINE (stdout JSON): the blended rays/s over the reference's demo
+schedule — the figure its ~30-min/200-frame demo derives to. Per
+runconf_demo_1.conf + volsdf_train.py:550-555, each 5-frame slice is:
+  5 frames x 30 tracking iters x 1024 rays
+  + one mapping call of 30 iters x 4096 rays staged
+    25% coarse/base, 45% fine/base, 30% fine/highfreq (BA active on the
+    highfreq tail: BA_ratio 0.7), flow edges live.
+Baseline: 200 frames x 30 x 1024 + 40 calls x 30 x 4096 = 11.1M rays in
+~1800 s (README.md:151) = 6200 rays/s all-in; vs_baseline = ours / 6200.
 
-Baseline derivation (BASELINE.md): the reference's 200-frame demo takes
-~30 min on a ~24GB GPU (README.md:151). Per the demo config
-(runconf_demo_1.conf: 30 tracking + 30 mapping iters) that is
-200 frames x 30 track iters x 1024 rays + 40 mapping calls x 30 iters x
-4096 rays = 11.1M rays in 1800 s ≈ 6.2k rays/s all-in:
-vs_baseline = ours / 6200.
+Secondary (stderr): per-stage map-iter ms, tracking ms/iter, and (with
+BENCH_WORST=1) the steady-state worst case — 8192-ray fine/highfreq
+mapping iters, the previous rounds' headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_SLICES (demo 5-frame slices to time, default 3),
+BENCH_CACHE_REFRESH (density-cache refresh period, default 10),
+BENCH_SKIP_TRACKING=1, BENCH_WORST=1, BENCH_ITERS (worst-case iters).
 """
 
 from __future__ import annotations
@@ -38,9 +42,10 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_setup
-    from nicer_slam_tpu.models.losses import loss_config_from_conf
+    from nicer_slam_tpu.models.losses import LossConfig, loss_config_from_conf
     from nicer_slam_tpu.slam.mapping import MapBatchRefs, MapConfig, map_step
     from nicer_slam_tpu.slam.state import OptimConfig, make_optimizer
+    from nicer_slam_tpu.slam.tracking import TrackConfig, track_frame
     from nicer_slam_tpu.utils.camera import tensor_from_camera_np
 
     conf, scene_cfg, params, voxels = _flagship_setup(tiny=False, n_images=64)
@@ -56,9 +61,7 @@ def main():
 
     H, W = scene_cfg.H, scene_cfg.W
     HW = H * W
-    Smax = 16
-    R = conf.get_int("train.mapping_num_pixels", 8192)
-    map_cfg = MapConfig(num_pixels=R, max_slots=Smax, max_edges=4)
+    Smax, Emax = 16, 4
 
     rng = np.random.default_rng(0)
     store_rgb = jnp.asarray(rng.integers(0, 255, (Smax, HW, 3)).astype(np.uint8))
@@ -81,11 +84,11 @@ def main():
         frame_ids=jnp.arange(Smax, dtype=jnp.int32),
         n_valid=jnp.asarray(Smax, jnp.int32),
         intrinsics=jnp.tile(jnp.asarray(K)[None], (Smax, 1, 1)),
-        edge_idii=jnp.zeros((4,), jnp.int32),
-        edge_idjj=jnp.ones((4,), jnp.int32),
-        edge_valid=jnp.zeros((4,), bool),
-        flow_imgs=jnp.zeros((4, HW, 2), jnp.float16),
-        flow_occ=jnp.zeros((4, HW), bool),
+        edge_idii=jnp.zeros((Emax,), jnp.int32),
+        edge_idjj=jnp.ones((Emax,), jnp.int32),
+        edge_valid=jnp.ones((Emax,), bool),
+        flow_imgs=jnp.asarray(rng.normal(size=(Emax, HW, 2)).astype(np.float16)),
+        flow_occ=jnp.ones((Emax, HW), bool),
     )
 
     from nicer_slam_tpu.models.scene_model import build_density_cache
@@ -94,148 +97,142 @@ def main():
     density_cache = cache_fn(params, voxels)
     refresh = int(os.environ.get("BENCH_CACHE_REFRESH", "10"))
 
-    def step(params, opt_state, voxels, poses_q, key):
-        return map_step(
-            scene_cfg, map_cfg, loss_cfg, params, opt_state, voxels,
-            optimizer, poses_q, refs,
-            store_rgb, store_depth, store_normal, store_gt_depth, store_mask,
-            key, density_cache, stage="fine", color_stage="highfreq",
-            ba=False, is_first_frame=False, use_flow=False)
-
-    # warmup / compile. NOTE: timing must end with a device->host fetch —
-    # on the remote (axon) runtime block_until_ready returns before the
-    # execution has actually finished.
-    key = jax.random.PRNGKey(0)
-    print(f"[bench] compiling map_step... t={time.strftime('%H:%M:%S')}",
-          file=sys.stderr, flush=True)
-    params, opt_state, voxels, poses_q, terms = step(
-        params, opt_state, voxels, poses_q, key)
-    float(terms["loss"])
-    print(f"[bench] warmup done t={time.strftime('%H:%M:%S')}",
-          file=sys.stderr, flush=True)
-
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        if i % refresh == 0:
-            density_cache = cache_fn(params, voxels)
-        params, opt_state, voxels, poses_q, terms = step(
-            params, opt_state, voxels, poses_q, jax.random.fold_in(key, i))
-    float(terms["loss"])  # forces the whole dependent chain
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = R * iters / dt
-
-    # headline JSON FIRST (the tracking secondary metric below needs its own
-    # large compile; if the harness kills us mid-compile the mapping number
-    # must already be on stdout)
-    print(json.dumps({
-        "metric": "mapping_train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
-    }), flush=True)
-
-    # opt-in demo-mix phase (BENCH_DEMO_MIX=1): the reference baseline
-    # (6200 rays/s) is an ALL-IN blend over the demo schedule — 30 tracking
-    # iters/frame at 1024 rays plus, every 5th frame, 30 mapping iters at
-    # 4096 rays staged 25% coarse/base, 45% fine/base, 30% fine/highfreq
-    # (volsdf_train.py:550-555). This phase executes one representative
-    # 5-frame slice of that schedule and reports the blended rays/s.
-    # Opt-in because it adds ~3 map_step compiles (+track) on a cold cache.
-    if os.environ.get("BENCH_DEMO_MIX"):
-        from nicer_slam_tpu.models.losses import LossConfig
-        from nicer_slam_tpu.slam.tracking import TrackConfig, track_frame
-
-        R_mix = 4096
-        mix_cfg = MapConfig(num_pixels=R_mix, max_slots=Smax, max_edges=4)
-
-        def mix_step(params, opt_state, voxels, poses_q, key, stage, cstage):
-            return map_step(
-                scene_cfg, mix_cfg, loss_cfg, params, opt_state, voxels,
-                optimizer, poses_q, refs,
-                store_rgb, store_depth, store_normal, store_gt_depth,
-                store_mask, key, density_cache, stage=stage,
-                color_stage=cstage, ba=False, is_first_frame=False,
-                use_flow=False)
-
-        tcfg = TrackConfig(num_iters=30, num_pixels=1024, cam_lr=5e-3)
-        from nicer_slam_tpu.utils.camera import tensor_from_camera_np as t_np
-        pose = np.eye(4, dtype=np.float32)
-        pose[2, 3] = -0.3
-        q0 = jnp.asarray(t_np(pose))
-
-        schedule = ([("coarse", "base")] * 8 + [("fine", "base")] * 13
-                    + [("fine", "highfreq")] * 9)
-        # warmup/compile every variant + tracking
-        for stage, cstage in (("coarse", "base"), ("fine", "base"),
-                              ("fine", "highfreq")):
-            params, opt_state, voxels, poses_q, t_mix = mix_step(
-                params, opt_state, voxels, poses_q, key, stage, cstage)
-        float(t_mix["loss"])
-        bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
-                                 voxels, store_rgb[0], jnp.asarray(K), q0,
-                                 jax.random.PRNGKey(3), density_cache)
-        float(aux["best_loss"])
-        print(f"[bench] demo-mix compiled t={time.strftime('%H:%M:%S')}",
+    def log(msg):
+        print(f"[bench] {msg} t={time.strftime('%H:%M:%S')}",
               file=sys.stderr, flush=True)
 
+    # ------------------------------------------------------------------
+    # HEADLINE: all-in demo-mix (the blend the 6200 rays/s baseline means)
+    # ------------------------------------------------------------------
+    R_mix = 4096
+    mix_cfg = MapConfig(num_pixels=R_mix, max_slots=Smax, max_edges=Emax)
+
+    def mix_step(params, opt_state, voxels, poses_q, key, stage, cstage, ba):
+        return map_step(
+            scene_cfg, mix_cfg, loss_cfg, params, opt_state, voxels,
+            optimizer, poses_q, refs,
+            store_rgb, store_depth, store_normal, store_gt_depth,
+            store_mask, key, density_cache, stage=stage,
+            color_stage=cstage, ba=ba, is_first_frame=False, use_flow=True)
+
+    tcfg = TrackConfig(num_iters=30, num_pixels=1024, cam_lr=5e-3)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -0.3
+    q0 = jnp.asarray(tensor_from_camera_np(pose))
+
+    # demo stage schedule for one 30-iter mapping call
+    # (volsdf_train.py:550-555 + BA_ratio 0.7)
+    schedule = ([("coarse", "base", False)] * 8
+                + [("fine", "base", False)] * 13
+                + [("fine", "highfreq", True)] * 9)
+    variants = [("coarse", "base", False), ("fine", "base", False),
+                ("fine", "highfreq", True)]
+
+    key = jax.random.PRNGKey(0)
+    stage_ms = {}
+    for stage, cstage, ba in variants:
+        log(f"compiling map_step {stage}/{cstage}{'/BA' if ba else ''}...")
+        params, opt_state, voxels, poses_q, t_mix = mix_step(
+            params, opt_state, voxels, poses_q, key, stage, cstage, ba)
+        float(t_mix["loss"])
+        # per-stage steady-state timing (secondary diagnostic)
         t0 = time.perf_counter()
+        for i in range(4):
+            params, opt_state, voxels, poses_q, t_mix = mix_step(
+                params, opt_state, voxels, poses_q,
+                jax.random.fold_in(key, 900 + i), stage, cstage, ba)
+        float(t_mix["loss"])
+        stage_ms[f"{stage}/{cstage}"] = (time.perf_counter() - t0) / 4 * 1000
+    log("compiling track_frame...")
+    bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                             voxels, store_rgb[0], jnp.asarray(K), q0,
+                             jax.random.PRNGKey(3), density_cache)
+    float(aux["best_loss"])
+    log("demo-mix compiled")
+
+    n_slices = int(os.environ.get("BENCH_SLICES", "3"))
+    t0 = time.perf_counter()
+    for s in range(n_slices):
         for f in range(5):
             bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
-                                     voxels, store_rgb[f % Smax],
+                                     voxels, store_rgb[(5 * s + f) % Smax],
                                      jnp.asarray(K), q0,
-                                     jax.random.fold_in(key, 100 + f),
+                                     jax.random.fold_in(key, 100 + 5 * s + f),
                                      density_cache)
-        for i, (stage, cstage) in enumerate(schedule):
-            if i % 10 == 0:
+        for i, (stage, cstage, ba) in enumerate(schedule):
+            if i % refresh == 0:
                 density_cache = cache_fn(params, voxels)
             params, opt_state, voxels, poses_q, t_mix = mix_step(
                 params, opt_state, voxels, poses_q,
-                jax.random.fold_in(key, 200 + i), stage, cstage)
+                jax.random.fold_in(key, 200 + 50 * s + i), stage, cstage, ba)
         float(t_mix["loss"])
-        float(aux["best_loss"])
-        mix_dt = time.perf_counter() - t0
-        mix_rays = 5 * 30 * 1024 + len(schedule) * R_mix
-        mix_rate = mix_rays / mix_dt
-        print(json.dumps({
-            "metric": "demo_mix_rays_per_sec_all_in",
-            "value": round(mix_rate, 1),
-            "unit": "rays/s",
-            "vs_baseline": round(mix_rate / REFERENCE_RAYS_PER_SEC, 2),
-        }), file=sys.stderr, flush=True)
+    float(aux["best_loss"])
+    mix_dt = time.perf_counter() - t0
+    mix_rays = n_slices * (5 * 30 * 1024 + len(schedule) * R_mix)
+    mix_rate = mix_rays / mix_dt
 
-    if os.environ.get("BENCH_SKIP_TRACKING"):
-        return
+    print(json.dumps({
+        "metric": "demo_mix_rays_per_sec_all_in",
+        "value": round(mix_rate, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(mix_rate / REFERENCE_RAYS_PER_SEC, 2),
+    }), flush=True)
+    for k, v in stage_ms.items():
+        print(json.dumps({"metric": f"map_iter_ms[{k}]",
+                          "value": round(v, 1), "unit": "ms",
+                          "rays_per_sec": round(R_mix / v * 1000, 1)}),
+              file=sys.stderr, flush=True)
 
-    # secondary metric (stderr, keeps the one-JSON-line stdout contract):
-    # tracking ms/iter — BASELINE.md's second north-star number
-    try:
-        from nicer_slam_tpu.models.losses import LossConfig
-        from nicer_slam_tpu.slam.tracking import TrackConfig, track_frame
-        from nicer_slam_tpu.utils.camera import tensor_from_camera_np
-
-        tr_iters = 20
-        tcfg = TrackConfig(num_iters=tr_iters, num_pixels=1024, cam_lr=5e-3)
-        pose = np.eye(4, dtype=np.float32)
-        pose[2, 3] = -0.3
-        q0 = jnp.asarray(tensor_from_camera_np(pose))
-        rgb0 = store_rgb[0]
-        best_q, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
-                                     voxels, rgb0, jnp.asarray(K), q0,
-                                     jax.random.PRNGKey(1), density_cache)
-        float(aux["best_loss"])
+    # ------------------------------------------------------------------
+    # secondary: tracking ms/iter (reuses the demo-mix track compile)
+    # ------------------------------------------------------------------
+    if not os.environ.get("BENCH_SKIP_TRACKING"):
         t0 = time.perf_counter()
-        best_q, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
-                                     voxels, rgb0, jnp.asarray(K), q0,
-                                     jax.random.PRNGKey(2), density_cache)
+        bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
+                                 voxels, store_rgb[0], jnp.asarray(K), q0,
+                                 jax.random.PRNGKey(2), density_cache)
         float(aux["best_loss"])
-        tdt = (time.perf_counter() - t0) / tr_iters * 1000
+        tdt = (time.perf_counter() - t0) / tcfg.num_iters * 1000
         print(json.dumps({"metric": "tracking_ms_per_iter",
                           "value": round(tdt, 1), "unit": "ms"}),
-              file=sys.stderr)
-    except Exception as e:  # secondary metric must never break the bench
-        print(f"tracking bench skipped: {e}", file=sys.stderr)
+              file=sys.stderr, flush=True)
+
+    # ------------------------------------------------------------------
+    # opt-in: steady-state worst case (flagship 8192-ray fine/highfreq)
+    # ------------------------------------------------------------------
+    if os.environ.get("BENCH_WORST"):
+        R = conf.get_int("train.mapping_num_pixels", 8192)
+        map_cfg = MapConfig(num_pixels=R, max_slots=Smax, max_edges=Emax)
+
+        def step(params, opt_state, voxels, poses_q, key):
+            return map_step(
+                scene_cfg, map_cfg, loss_cfg, params, opt_state, voxels,
+                optimizer, poses_q, refs,
+                store_rgb, store_depth, store_normal, store_gt_depth,
+                store_mask, key, density_cache, stage="fine",
+                color_stage="highfreq", ba=False, is_first_frame=False,
+                use_flow=False)
+
+        log("compiling worst-case map_step (8192 rays)...")
+        params, opt_state, voxels, poses_q, terms = step(
+            params, opt_state, voxels, poses_q, key)
+        float(terms["loss"])
+        iters = int(os.environ.get("BENCH_ITERS", "20"))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            if i % refresh == 0:
+                density_cache = cache_fn(params, voxels)
+            params, opt_state, voxels, poses_q, terms = step(
+                params, opt_state, voxels, poses_q, jax.random.fold_in(key, i))
+        float(terms["loss"])
+        dt = time.perf_counter() - t0
+        rays_per_sec = R * iters / dt
+        print(json.dumps({
+            "metric": "mapping_train_rays_per_sec_per_chip",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        }), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -169,10 +169,17 @@ def generate(
     flow_thresh: int = 30,
     with_flow: bool = True,
     assign_scale: float = 20.0,
+    rad_per_frame: float = 0.03,
 ) -> str:
     """Write a full VolSDF-layout scan; returns the data_dir to point the
     conf at. Monocular 'prior' depth is cube_depth/assign_scale so the
-    frame-0 metric anchor (loss.py:179-184) is exact."""
+    frame-0 metric anchor (loss.py:179-184) is exact.
+
+    ``rad_per_frame`` sets the per-frame camera motion. The default 0.03
+    matches the reference *demo* sequence's motion statistics (200 frames
+    covering a room sweep); 0.003 gives the Replica-at-2000-frames regime —
+    ~10x smaller frame-to-frame motion over the same total sweep — the
+    apples-to-apples setting for full-sequence drift studies."""
     import imageio.v2 as imageio
 
     inst = os.path.join(out_dir, f"scan{scan_id}")
@@ -191,7 +198,7 @@ def generate(
     scale_mat = np.eye(4, dtype=np.float64)
     scale_mat[:3, :3] *= world_scale
 
-    poses = camera_trajectory(n_frames)
+    poses = camera_trajectory(n_frames, rad_per_frame=rad_per_frame)
     cams = {}
     depths = []
     for i, c2w in enumerate(poses):

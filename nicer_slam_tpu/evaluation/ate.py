@@ -114,8 +114,10 @@ def write_tum_trajectory(path: str, c2w: np.ndarray,
                     f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
 
 
-def read_tum_trajectory(path: str) -> np.ndarray:
-    """Read TUM trajectory file -> c2w [N,4,4]."""
+def read_tum_trajectory(path: str, return_timestamps: bool = False):
+    """Read TUM trajectory file (``t tx ty tz qx qy qz qw`` per line, the
+    reference's ``gt_trajs/*.txt`` format) -> c2w [N,4,4]
+    (or ``(c2w, timestamps)`` when ``return_timestamps``)."""
     from ..utils.camera import quad2rotation
     import jax.numpy as jnp
 
@@ -135,4 +137,6 @@ def read_tum_trajectory(path: str) -> np.ndarray:
     out = np.tile(np.eye(4, dtype=np.float32)[None], (arr.shape[0], 1, 1))
     out[:, :3, :3] = R
     out[:, :3, 3] = t
+    if return_timestamps:
+        return out, arr[:, 0]
     return out

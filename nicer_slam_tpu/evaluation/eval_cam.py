@@ -22,13 +22,28 @@ from . import ate
 
 
 def evaluate_run(run_dir: str, make_plot: bool = True,
-                 world_scale: float = 1.0):
+                 world_scale: float = 1.0, gt_traj: str | None = None):
     pose_dir = os.path.join(run_dir, "checkpoints", "PoseParameters")
     est_pose_all, gt_pose_all, frame_idx = ckpt.load_poses(pose_dir)
 
     keys = sorted(est_pose_all.keys())
     est = np.stack([est_pose_all[k] for k in keys]).astype(np.float64)
-    gt = np.stack([np.asarray(gt_pose_all[k]) for k in keys]).astype(np.float64)
+    if gt_traj is not None:
+        # reference-format TUM GT file (gt_trajs/gt_<ds>_<scene>.txt,
+        # eval_cam.py:444-459's evo_ape input): the timestamp column is the
+        # frame index — match est frames by it; frames missing from the GT
+        # file are dropped from the comparison.
+        gt_all, ts = ate.read_tum_trajectory(gt_traj, return_timestamps=True)
+        by_frame = {int(round(t)): gt_all[i] for i, t in enumerate(ts)}
+        keys = [k for k in keys if int(k) in by_frame]
+        if not keys:
+            raise ValueError(
+                f"no est frames match timestamps in {gt_traj}")
+        est = np.stack([est_pose_all[k] for k in keys]).astype(np.float64)
+        gt = np.stack([by_frame[int(k)] for k in keys]).astype(np.float64)
+    else:
+        gt = np.stack([np.asarray(gt_pose_all[k])
+                       for k in keys]).astype(np.float64)
     if world_scale != 1.0:
         est[:, :3, 3] *= world_scale
         gt[:, :3, 3] *= world_scale
@@ -82,9 +97,13 @@ def main(argv=None):
     p.add_argument("--world_scale", type=float, default=1.0,
                    help="multiply translations (e.g. scale_mat[0,0]) to "
                         "report metric units")
+    p.add_argument("--gt_traj", type=str, default=None,
+                   help="reference-format TUM GT trajectory "
+                        "(gt_trajs/gt_<dataset>_<scene>.txt); overrides the "
+                        "checkpoint's recorded GT poses")
     a = p.parse_args(argv)
     m = evaluate_run(a.output, make_plot=not a.no_plot,
-                     world_scale=a.world_scale)
+                     world_scale=a.world_scale, gt_traj=a.gt_traj)
     print(json.dumps(m, indent=2))
 
 

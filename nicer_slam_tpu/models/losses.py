@@ -220,6 +220,11 @@ def compute_losses(
     normal_pred = outputs["normal_map"]
     ray_valid = batch.ray_valid
 
+    # is_first_frame is TRACED (bool or scalar array): the frame-0 anchor
+    # regime shares the compiled graph with regular frames (map_step compile
+    # variants are expensive; a where-select is free).
+    ff = jnp.asarray(is_first_frame, jnp.float32)
+
     terms: Dict[str, jnp.ndarray] = {}
     terms["rgb_loss"] = rgb_l1(rgb_pred, gt["rgb"], ray_valid)
 
@@ -231,8 +236,7 @@ def compute_losses(
     # warp: sum over configured patchsizes (loss.py:132-155); ps==1 always
     # uses l1, ps>1 uses l1 or gaussian-window SSIM x0.05 per warp_loss_type
     warp_keys = sorted(k for k in outputs if k.startswith("warp_sampled_rgb_"))
-    if cfg.warp_loss_weight > 0 and stage == "fine" and not is_first_frame \
-            and warp_keys:
+    if cfg.warp_loss_weight > 0 and stage == "fine" and warp_keys:
         warp_total = jnp.asarray(0.0)
         for key in warp_keys:
             ps = int(key.rsplit("_", 1)[1])
@@ -247,7 +251,9 @@ def compute_losses(
             else:
                 raise ValueError(
                     f"unknown warp_loss_type {cfg.warp_loss_type}")
-        terms["warp_loss"] = warp_total
+        # the reference skips warp at frame 0 (no other keyframes to warp
+        # into); traced gate instead of a compile variant
+        terms["warp_loss"] = warp_total * (1.0 - ff)
     else:
         terms["warp_loss"] = jnp.asarray(0.0)
 
@@ -275,12 +281,19 @@ def compute_losses(
     gt_depth_weight = cfg.gt_depth_weight
     depth_real_gt = gt["gt_depth"][:, 0]
     if cfg.assign_scale_shift_init:
-        if is_first_frame:
-            depth_real_gt = gt["depth"][:, 0] * cfg.assign_scale
-            gt_depth_weight = 10.0
-        else:
-            gt_depth_weight = 0.0
-    if gt_depth_weight > 0:
+        # frame 0 rebinds the term to mono_depth * assign_scale at weight 10
+        # (loss.py:179-184); afterwards the term is off. Traced select so
+        # the anchor regime doesn't fork the compiled graph.
+        depth_real_gt = jnp.where(ff > 0,
+                                  gt["depth"][:, 0] * cfg.assign_scale,
+                                  depth_real_gt)
+        gt_depth_weight = ff * 10.0
+        gt_depth_static_on = True
+    else:
+        gt_depth_static_on = cfg.gt_depth_weight > 0
+    if gt_depth_static_on:
+        # mask is (gt_depth > 0) even for frame 0's mono-rebased target
+        # (loss.py:186-187)
         gt_depth_mask = (gt["gt_depth"][:, 0] > 0) & ray_valid
         terms["gt_depth_loss"] = gt_depth_l1(depth_pred, depth_real_gt,
                                              gt_depth_mask)

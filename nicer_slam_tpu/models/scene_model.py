@@ -43,6 +43,15 @@ class SceneConfig(NamedTuple):
     H: int = 680
     W: int = 1200
     patchsizes: Tuple[int, ...] = (1,)
+    # TPU-native optimization (not in the reference): during training,
+    # evaluate the color network only at the color_topk highest-weight
+    # samples per ray instead of all S. The compositing sum is dominated by
+    # a handful of near-surface samples (transmittance kills the rest), so
+    # the renormalized top-K sum approximates the full sum while cutting the
+    # color encoder's gather/scatter volume — the measured mapping
+    # bottleneck (the reference's logmap-24 color grid backward,
+    # hashencoder.cu:286-373) — by S/K. 0 disables (exact reference path).
+    color_topk: int = 0
 
 
 def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneConfig:
@@ -77,6 +86,7 @@ def scene_config_from_conf(model_conf: Config, img_res, n_images: int) -> SceneC
         H=int(img_res[0]),
         W=int(img_res[1]),
         patchsizes=tuple(int(p) for p in patchsizes),
+        color_topk=model_conf.get_int("color_topk", 0),
     )
 
 
@@ -299,18 +309,43 @@ def render_rays(
             cfg.render, p, pts, g, d, f, image_indices=idx,
             color_stage=color_stage),
         policy=_policy)
-    rgb_flat = render_fwd_ckpt(params["render"], points_flat, gradients,
-                               dirs_flat, feature_vectors, point_frame_ids)
-    if cfg.render.model_exposure:
-        rgb_flat, rgb_un_flat = rgb_flat
-        rgb_un = rgb_un_flat.reshape(R, S, 3)
-    rgb = rgb_flat.reshape(R, S, 3)
 
+    # density/weights first: the color pass may prune to the top-K samples
     density_flat = _density(cfg, params, new_voxels, sdf[:, 0], points_flat,
                             beta_scale)
     weights = render_weights(z_vals, density_flat.reshape(R, S))
 
-    rgb_values = (weights[..., None] * rgb).sum(axis=1)                 # [R,3]
+    Kc = cfg.color_topk
+    prune_color = training and 0 < Kc < S
+    if prune_color:
+        # gather the Kc highest-weight samples per ray; gradients still flow
+        # to the kept weights via top_k's value output. The composite is
+        # renormalized by the total/kept weight-mass ratio so pruned samples
+        # are approximated by the kept samples' average color (unbiased in
+        # brightness even while weights are still diffuse early in training).
+        topk_w, topk_i = jax.lax.top_k(weights, Kc)            # [R,Kc]
+        flat_i = (jnp.arange(R, dtype=topk_i.dtype)[:, None] * S
+                  + topk_i).reshape(-1)
+        rgb_flat = render_fwd_ckpt(
+            params["render"], points_flat[flat_i], gradients[flat_i],
+            dirs_flat[flat_i], feature_vectors[flat_i],
+            point_frame_ids[flat_i])
+        renorm = (weights.sum(1, keepdims=True)
+                  / (topk_w.sum(1, keepdims=True) + 1e-8))     # [R,1]
+        w_comp = topk_w * renorm                               # [R,Kc]
+        S_color = Kc
+    else:
+        rgb_flat = render_fwd_ckpt(params["render"], points_flat, gradients,
+                                   dirs_flat, feature_vectors,
+                                   point_frame_ids)
+        w_comp = weights
+        S_color = S
+    if cfg.render.model_exposure:
+        rgb_flat, rgb_un_flat = rgb_flat
+        rgb_un = rgb_un_flat.reshape(R, S_color, 3)
+    rgb = rgb_flat.reshape(R, S_color, 3)
+
+    rgb_values = (w_comp[..., None] * rgb).sum(axis=1)                  # [R,3]
     wsum = weights.sum(axis=1, keepdims=True)
     depth_values = (weights * z_vals).sum(axis=1, keepdims=True) / (wsum + 1e-8)
     rendered_depth = depth_values                                        # [R,1]
@@ -425,7 +460,7 @@ def render_rays(
 
     if cfg.render.model_exposure:
         out["rgb_un"] = rgb_un
-        out["rgb_un_values"] = (weights[..., None] * rgb_un).sum(axis=1)
+        out["rgb_un_values"] = (w_comp[..., None] * rgb_un).sum(axis=1)
 
     # ---- eikonal points (network.py:313-336)
     if training and is_mapping:

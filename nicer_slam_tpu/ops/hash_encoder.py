@@ -465,8 +465,13 @@ def _row_corner_gather(emb: jnp.ndarray, emb_tc: jnp.ndarray,
     [K, N, C] f32 values.
 
     ``emb_tc`` must be ``emb.T`` ([T, C]) — the caller transposes ONCE per
-    encode call so all levels share it. Module-level custom_jvp (no
-    closures over tracers: those leak under jax.checkpoint)."""
+    encode call so all levels share it. The JVP below computes the tangent
+    from ``emb`` ALONE (ignoring emb_tc's tangent), which is only correct
+    under that invariant; the shape assert enforces at least the [T, C] vs
+    [C, T] pairing at trace time. Module-level custom_jvp (no closures over
+    tracers: those leak under jax.checkpoint)."""
+    assert emb_tc.shape == (emb.shape[1], emb.shape[0]), (
+        f"emb_tc must be emb.T: got emb {emb.shape}, emb_tc {emb_tc.shape}")
     return emb_tc[rows]                                      # [K, N, C]
 
 

@@ -62,8 +62,7 @@ def _ray_slots(R: int, n_valid: jnp.ndarray):
 @functools.partial(
     jax.jit,
     static_argnames=("scene_cfg", "map_cfg", "loss_cfg", "optimizer", "stage",
-                     "color_stage", "ba", "is_first_frame", "use_flow",
-                     "shard_rays"),
+                     "color_stage", "ba", "use_flow", "shard_rays"),
     donate_argnames=("params", "opt_state", "voxels"),
 )
 def map_step(
@@ -88,7 +87,7 @@ def map_step(
     stage: str,
     color_stage: str,
     ba: bool,
-    is_first_frame: bool,
+    is_first_frame=False,   # traced (bool or scalar) — no compile variant
     use_flow: bool,
     shard_rays=None,
 ):

@@ -252,7 +252,13 @@ class SLAMRunner:
         self._flow_cache: Dict = {}
         self._flow_cache_max = 64
         self._edge_refs = None
-        self._use_flow = False
+        # use_flow is a PER-RUN constant (a map_step compile variant):
+        # flow participates whenever the loss wants it and the dataset ships
+        # flow files; calls without live edges run the same graph with an
+        # all-invalid edge mask instead of forking a second compile.
+        self._use_flow = bool(
+            self.loss_cfg.flow_weight > 0
+            and os.path.isdir(getattr(self.dataset, "flow_dir", "")))
         self._key = jax.random.PRNGKey(seed)
         self.timer = PhaseTimer()
         # density (beta) warmup: soft -> sharp annealing during the first
@@ -411,27 +417,27 @@ class SLAMRunner:
         edge_idjj = np.zeros((Emax,), np.int32)
         edge_valid = np.zeros((Emax,), bool)
         kept = 0
-        if edges is not None and self.loss_cfg.flow_weight > 0:
+        if self._use_flow:
             flow_imgs = np.zeros((Emax, HW, 2), np.float16)
             flow_occ = np.zeros((Emax, HW), bool)
-            idii, idjj, ii, jj = edges
-            ne = min(len(idii), Emax)
-            for e in range(ne):
-                pair = self._load_flow_pair(int(ii[e]), int(jj[e]))
-                if pair is None:
-                    continue
-                flow_imgs[kept] = pair[0]
-                flow_occ[kept] = pair[1]
-                edge_idii[kept] = int(idii[e])
-                edge_idjj[kept] = int(idjj[e])
-                edge_valid[kept] = True
-                kept += 1
-        if kept == 0:
-            # no flow this call: ship 1-row placeholders (use_flow=False is
-            # a static arg, so this is a distinct — tiny — compile)
+            if edges is not None:
+                idii, idjj, ii, jj = edges
+                ne = min(len(idii), Emax)
+                for e in range(ne):
+                    pair = self._load_flow_pair(int(ii[e]), int(jj[e]))
+                    if pair is None:
+                        continue
+                    flow_imgs[kept] = pair[0]
+                    flow_occ[kept] = pair[1]
+                    edge_idii[kept] = int(idii[e])
+                    edge_idjj[kept] = int(idjj[e])
+                    edge_valid[kept] = True
+                    kept += 1
+        else:
+            # flow is off for the whole run: 1-row placeholders keep the
+            # (single) use_flow=False graph's operands tiny
             flow_imgs = np.zeros((1, HW, 2), np.float16)
             flow_occ = np.zeros((1, HW), bool)
-        self._use_flow = kept > 0
         self._edge_refs = (
             jnp.asarray(edge_idii), jnp.asarray(edge_idjj),
             jnp.asarray(edge_valid), jnp.asarray(flow_imgs),

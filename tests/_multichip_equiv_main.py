@@ -12,37 +12,13 @@ test surfaces this script's stderr.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags += " --xla_force_host_platform_device_count=8"
-if "collective_call_terminate_timeout" not in flags:
-    # XLA:CPU hard-aborts the process when partition threads miss a
-    # collective rendezvous (default 40 s) — on a 1-core host under
-    # concurrent compile load, threads get starved for minutes. Be patient
-    # instead of dead.
-    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=900"
-              " --xla_cpu_collective_timeout_seconds=900")
-os.environ["XLA_FLAGS"] = flags.strip()
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import hashlib  # noqa: E402
+from _jax_cpu_env import setup_cpu_jax  # noqa: E402
+
+setup_cpu_jax()
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
-# machine-keyed CPU compile cache (same scheme as conftest.py): reruns of
-# the suite skip this script's map_step recompile
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
-except OSError:
-    _flags = ""
-jax.config.update(
-    "jax_compilation_cache_dir",
-    f"/tmp/nicer_slam_tpu_jax_cache_cpu_{hashlib.md5(_flags.encode()).hexdigest()[:8]}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -129,13 +105,16 @@ def main():
             is_first_frame=False, use_flow=True, shard_rays=shard)
 
     p1, _, v1, q1, t1 = run(None)
-    # 2-device mesh, not 8: XLA:CPU executes each virtual device's partition
-    # on its own thread and hard-aborts (rendezvous.cc, 40 s) when threads
-    # can't all reach a collective in time — on a 1-core host, 8 threads
-    # routinely miss it. Two shards exercise the identical GSPMD partitioning
-    # + psum math; the 8-device compile/run path is covered by
-    # dryrun_multichip (tiny shapes).
-    mesh = make_mesh(2)
+    # Mesh width: 8 where the host can run 8 partition threads without
+    # starving XLA:CPU's collective rendezvous (each virtual device's
+    # partition runs on its own thread; on a 1-core host 8 threads routinely
+    # miss the rendezvous and the process hard-aborts in rendezvous.cc).
+    # Narrow hosts fall back to 2 shards — identical GSPMD partitioning +
+    # psum math, reduced width. NICER_EQUIV_DEVICES overrides. The width
+    # that actually ran is recorded in the OK line the parent test checks.
+    n_dev = int(os.environ.get("NICER_EQUIV_DEVICES",
+                               8 if (os.cpu_count() or 1) >= 4 else 2))
+    mesh = make_mesh(n_dev)
     with mesh:
         p8, _, v8, q8, t8 = run(ray_sharding(mesh))
 
@@ -155,7 +134,8 @@ def main():
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(b, a, rtol=0, atol=5e-3 * scale)
 
-    print(f"EQUIVALENCE OK loss1={loss1:.6f} loss8={loss8:.6f}")
+    print(f"EQUIVALENCE OK n_devices={n_dev} "
+          f"loss1={loss1:.6f} lossN={loss8:.6f}")
 
 
 if __name__ == "__main__":

@@ -115,3 +115,27 @@ def test_visualizer_renders_frames(mini_run, tmp_path):
     assert res.returncode == 0, res.stderr[-500:]
     frames = os.listdir(os.path.join(mini_run.rundir, "vis_frames"))
     assert any(f.startswith("viz_") for f in frames)
+
+
+def test_eval_cam_external_gt_traj(mini_run, tmp_path):
+    """--gt_traj: a reference-format TUM GT file (gt_trajs/gt_<ds>_<scene>.txt,
+    eval_cam.py:444-459) overrides the checkpoint's recorded GT poses; the
+    timestamp column is the frame index and unmatched frames are dropped."""
+    from nicer_slam_tpu.evaluation import ate
+    from nicer_slam_tpu.evaluation.eval_cam import evaluate_run
+
+    gt = np.stack([np.asarray(mini_run.dataset.gt_pose_all[i])
+                   for i in range(3)])
+    gt_path = str(tmp_path / "gt_synth_scan1.txt")
+    ate.write_tum_trajectory(gt_path, gt, timestamps=np.arange(3.0))
+    m_ext = evaluate_run(mini_run.rundir, make_plot=False, gt_traj=gt_path)
+    m_int = evaluate_run(mini_run.rundir, make_plot=False)
+    assert m_ext["n_frames"] == 3
+    np.testing.assert_allclose(m_ext["ate_rmse"], m_int["ate_rmse"],
+                               rtol=1e-6, atol=1e-9)
+    # GT file covering only a subset of frames -> comparison restricted to it
+    ate.write_tum_trajectory(str(tmp_path / "gt_sub.txt"), gt[:2],
+                             timestamps=np.arange(2.0))
+    m_sub = evaluate_run(mini_run.rundir, make_plot=False,
+                         gt_traj=str(tmp_path / "gt_sub.txt"))
+    assert m_sub["n_frames"] == 2

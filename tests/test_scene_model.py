@@ -270,3 +270,54 @@ def test_build_density_cache_blocked_shape(scene):
     vol = np.asarray(cache[:, 0]).reshape(res, res, res)
     c7 = np.asarray(cache[:, 7]).reshape(res, res, res)
     np.testing.assert_allclose(c7[:-1, :-1, :-1], vol[1:, 1:, 1:], rtol=1e-6)
+
+
+def test_color_topk_pruning_close_to_exact(scene):
+    """TPU-native color top-K pruning (SceneConfig.color_topk): pruned
+    compositing must stay close to the exact all-sample composite (the
+    renormalized top-K sum captures the surviving weight mass) and must
+    remain differentiable w.r.t. scene params."""
+    cfg, params, voxels = scene
+    batch = make_batch(cfg, R=8)
+    key = jax.random.PRNGKey(11)
+
+    def run(c):
+        return jax.jit(lambda p, v, b, k: sm.render_rays(
+            c, p, v, b, k, stage="fine", training=True, is_mapping=True))(
+            params, voxels, batch, key)
+
+    exact = run(cfg)
+    S_total = cfg.sampler.total_samples
+    pruned = run(cfg._replace(color_topk=S_total // 2))
+    assert pruned["rgb"].shape == (8, S_total // 2, 3)
+    # same sampling key -> same z_vals/weights; color composite approximated
+    np.testing.assert_allclose(np.asarray(pruned["weights"]),
+                               np.asarray(exact["weights"]), atol=1e-6)
+    err = np.abs(np.asarray(pruned["rgb_values"])
+                 - np.asarray(exact["rgb_values"])).max()
+    assert err < 0.05, err
+    # depth/normals untouched by the color path
+    np.testing.assert_allclose(np.asarray(pruned["depth_values"]),
+                               np.asarray(exact["depth_values"]), atol=1e-6)
+
+    # gradients flow through the pruned path (params + weights)
+    cfg_k = cfg._replace(color_topk=4)
+
+    def loss(p):
+        out = sm.render_rays(cfg_k, p, voxels, batch, key,
+                             stage="fine", training=True, is_mapping=True)
+        return (out["rgb_values"] ** 2).sum()
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves)
+    assert total > 0
+
+    # eval path (training=False) ignores color_topk entirely
+    ev_k = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg_k, p, v, b, k, training=False))(params, voxels, batch, key)
+    ev = jax.jit(lambda p, v, b, k: sm.render_rays(
+        cfg, p, v, b, k, training=False))(params, voxels, batch, key)
+    np.testing.assert_allclose(np.asarray(ev_k["rgb_values"]),
+                               np.asarray(ev["rgb_values"]), atol=1e-7)

@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONF_TEMPLATE = """
 SLAM {{
     mapping {{
-        mapping_window_size = 6
+        mapping_window_size = {window}
         BA = {ba}
-        BA_ratio = 0.7
+        BA_ratio = {ba_ratio}
         BA_cam_lr = 0.001
         keyframe_every = 10
         mapping_every_frame = {mef}
@@ -132,13 +132,15 @@ def run_probe(args, data_dir=None):
     if data_dir is None:
         data_dir = os.path.join(tmp, "Synthetic")
         generate(data_dir, scan_id=1, n_frames=args.frames, H=args.H,
-                 W=args.W, world_scale=3.0, with_flow=args.frames > 10)
+                 W=args.W, world_scale=3.0, with_flow=args.frames > 10,
+                 rad_per_frame=args.rad_per_frame)
     conf = CONF_TEMPLATE.format(
         data_dir=data_dir, H=args.H, W=args.W, n_images=args.frames,
         map_iters=args.iters, track_iters=args.track_iters,
         rays=args.rays, track_rays=args.track_rays, lr=args.lr,
         track_lr=args.track_lr, grid_lr_factor=args.grid_lr_factor,
         ba="true" if args.ba else "false", mef=args.mef,
+        window=args.window, ba_ratio=args.ba_ratio,
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         density=args.density, beta_warmup=args.beta_warmup,
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
@@ -201,6 +203,12 @@ def build_argparser():
     p.add_argument("--beta_warmup", type=float, default=0.0)
     p.add_argument("--prepass", type=str, default="cached")
     p.add_argument("--cache_res", type=int, default=128)
+    p.add_argument("--window", type=int, default=6,
+                   help="mapping_window_size (reference demo: 15)")
+    p.add_argument("--ba_ratio", type=float, default=0.7)
+    p.add_argument("--rad_per_frame", type=float, default=0.03,
+                   help="per-frame camera motion; 0.003 = Replica-at-2000-"
+                        "frames regime (10x slower than the demo default)")
     return p
 
 
