@@ -26,6 +26,7 @@ scatter-adds (no fp16-atomics nondeterminism).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Tuple
 
@@ -173,7 +174,18 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
     N-major [N, L*C] feature matrix the decoder MLP consumes. Gradients
     transpose through scalar scatter-adds (the fast scatter direction) via
     _row_corner_gather's custom_jvp.
+
+    BIG grids (the logmap-24 color grid): when any level's table reaches
+    SORTED_BWD_MIN_ENTRIES the whole encode routes through the unified
+    sorted-backward formulation (see _grid_corner_values below) — same
+    forward fast paths, but ONE sort + sorted scatter-add backward instead
+    of per-level random scatters (measured 18x cheaper at 2^24-entry
+    tables). First-order only, which the color path is.
     """
+    if (SORTED_BWD and spec.input_dim == 3
+            and max(spec.offsets[l + 1] - spec.offsets[l]
+                    for l in range(spec.num_levels)) >= SORTED_BWD_MIN_ENTRIES):
+        return _hash_encode_unified(spec, embeddings, x, size)
     D = spec.input_dim
     prefix = x.shape[:-1]
     x = x.reshape(-1, D)
@@ -486,6 +498,189 @@ def _row_corner_gather_jvp(primals, tangents):
     # scatter-add, the fast direction on TPU.
     t_out = t_emb.reshape(-1)[rows[None, :, :] + chan_off]   # [C, K, N]
     return _row_corner_gather(emb, emb_tc, rows), t_out.transpose(1, 2, 0)
+
+
+# ---------------------------------------------------------------------------
+# Unified sorted-backward encode for BIG grids (the logmap-24 color grid).
+#
+# The round-2 backward transposed each level's gather into an independent
+# random scatter-add. Measured on TPU v5e at the color grid's real shapes
+# (6.4M updates/level into 2^24-entry tables, tools/microbench_scatter.py):
+#
+#   unsorted scalar scatter   ~222 ns/element   (latency-serialized)
+#   unsorted row scatter      ~120 ns/row
+#   sort 6.4M u32 keys          ~48 ms  (~7.5 ns/key)
+#   SORTED scalar scatter      ~12 ns/element   (incl. the sort)
+#
+# So the backward here concatenates every big level's corner updates,
+# sorts them ONCE by global table row, and applies a single
+# indices_are_sorted scatter-add — 18x cheaper than what XLA derives by
+# transposing the gather. Small levels (tables < SORTED_BWD_MIN_ENTRIES)
+# keep the direct scalar scatter (fast at small table sizes) chained into
+# the same gradient buffer. The forward keeps both fast paths: cell-block
+# row gathers for dense levels, [T, C] row gathers for hashed ones.
+#
+# This is the TPU counterpart of the reference's hand-written backward
+# kernel (hashencoder.cu:286-373, atomicAdd at HBM bandwidth): same job —
+# make the table-gradient write stream at memory speed instead of
+# latency — different mechanism (sort for locality vs coalesced atomics).
+#
+# First-order only (jax.custom_vjp): used by the color grid, whose losses
+# never need grad-of-grad. The SDF grids (2^19 tables, second-order via
+# eikonal) stay on the custom_jvp scalar-scatter path above.
+# ---------------------------------------------------------------------------
+
+SORTED_BWD = True            # module A/B switch for the sorted backward
+SORTED_BWD_MIN_ENTRIES = 1 << 21   # per-level size that joins the sort
+
+
+def _blocked_lvl(spec: HashGridSpec, lvl: int) -> bool:
+    return DENSE_BLOCK and spec.dense[lvl] and spec.input_dim == 3
+
+
+def _dense_block_table_tc(spec: HashGridSpec, emb_tc: jnp.ndarray,
+                          lvl: int) -> jnp.ndarray:
+    """_dense_block_table from the [T, C] view: [res^3, 8*C] via 8 rolls."""
+    res = spec.resolutions[lvl]
+    C = emb_tc.shape[1]
+    sl = emb_tc[spec.offsets[lvl]:spec.offsets[lvl + 1]].T   # [C, res^3]
+    vol = sl.reshape(C, res, res, res)                       # [C, z, y, x]
+    corners = _corner_offsets(spec.input_dim)
+    shifted = []
+    for dx, dy, dz in corners:
+        v = vol
+        if dz:
+            v = jnp.roll(v, -1, axis=1)
+        if dy:
+            v = jnp.roll(v, -1, axis=2)
+        if dx:
+            v = jnp.roll(v, -1, axis=3)
+        shifted.append(v.reshape(C, -1))
+    return jnp.concatenate(shifted, axis=0).T                # [res^3, 8C]
+
+
+def _gcv_impl(spec: HashGridSpec, emb_tc: jnp.ndarray,
+              rows_all: jnp.ndarray, cells: jnp.ndarray) -> jnp.ndarray:
+    """Mixed fast-path corner-value fetch: [L, 2^D, N, C].
+
+    rows_all [L, 2^D, N] global table rows per level/corner; cells
+    [n_blocked, N] dense cell ids for the cell-block levels (in level
+    order). Dense-blocked levels read via the 8-roll cell-block table (one
+    row gather per point); other levels via [T, C] row gathers. The roll
+    wrap-around rows differ from rows_all's flat-mod rows only at corners
+    whose interpolation weight is exactly zero (boundary clip), so the
+    backward may scatter at rows_all for every level."""
+    L, K, N = rows_all.shape
+    C = emb_tc.shape[1]
+    out = []
+    di = 0
+    for lvl in range(L):
+        if _blocked_lvl(spec, lvl):
+            blocked = _dense_block_table_tc(spec, emb_tc, lvl)  # [res^3, 8C]
+            r = blocked[cells[di]]                              # [N, 8C]
+            di += 1
+            out.append(r.reshape(N, K, C).transpose(1, 0, 2))   # [K, N, C]
+        else:
+            out.append(emb_tc[rows_all[lvl]])                   # [K, N, C]
+    return jnp.stack(out)                                       # [L,K,N,C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grid_corner_values(spec: HashGridSpec, emb_tc: jnp.ndarray,
+                        rows_all: jnp.ndarray,
+                        cells: jnp.ndarray) -> jnp.ndarray:
+    return _gcv_impl(spec, emb_tc, rows_all, cells)
+
+
+def _gcv_fwd(spec, emb_tc, rows_all, cells):
+    return _gcv_impl(spec, emb_tc, rows_all, cells), (rows_all, cells.shape)
+
+
+def _gcv_bwd(spec, residuals, g):
+    rows_all, cells_shape = residuals
+    L, K, N = rows_all.shape
+    C = g.shape[-1]
+    T = spec.total_entries
+    sizes = [spec.offsets[l + 1] - spec.offsets[l] for l in range(L)]
+    big = tuple(l for l in range(L) if sizes[l] >= SORTED_BWD_MIN_ENTRIES)
+    small = tuple(l for l in range(L) if sizes[l] < SORTED_BWD_MIN_ENTRIES)
+
+    # [T*C] row-major flat accumulation: element id = row*C + c keeps the
+    # sorted-key monotonicity after the per-channel offset
+    flat = jnp.zeros((T * C,), g.dtype)
+    if small:
+        idx = jnp.asarray(small)
+        r = rows_all[idx].reshape(-1)                    # [n_small*K*N]
+        gs = g[idx].reshape(-1, C)
+        for c in range(C):
+            flat = flat.at[r * C + c].add(gs[:, c])
+    if big:
+        idx = jnp.asarray(big)
+        rb = rows_all[idx].reshape(-1)                   # [Mb]
+        gb = g[idx].reshape(-1, C)
+        srt = jax.lax.sort([rb] + [gb[:, c] for c in range(C)], num_keys=1)
+        kb = srt[0]
+        for c in range(C):
+            flat = flat.at[kb * C + c].add(srt[1 + c],
+                                           indices_are_sorted=True)
+    demb_tc = flat.reshape(T, C)
+    rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
+    cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
+    return demb_tc, rows_ct, cells_ct
+
+
+_grid_corner_values.defvjp(_gcv_fwd, _gcv_bwd)
+
+
+def _hash_encode_unified(spec: HashGridSpec, embeddings: jnp.ndarray,
+                         x: jnp.ndarray, size: float = 1.0) -> jnp.ndarray:
+    """hash_encode via _grid_corner_values (big-grid sorted backward)."""
+    D = spec.input_dim
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, D)
+    N = x.shape[0]
+    u = (x + size) / (2.0 * size)
+
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)       # [N]
+    corners = jnp.asarray(_corner_offsets(D))           # [2^D, D]
+    u_t = u.T                                           # [D, N]
+    C = spec.level_dim
+    emb_tc = embeddings.T                               # [T, C]
+
+    rows_list = []
+    cells_list = []
+    w_list = []
+    for lvl in range(spec.num_levels):
+        scale = spec.scales[lvl]
+        res = spec.resolutions[lvl]
+        pos = u_t * scale                               # [D, N]
+        left = jnp.floor(pos)
+        f = pos - left
+        wb = f * f * (3.0 - 2.0 * f)                    # smoothstep
+        wa = 1.0 - wb
+        left_i = left.astype(jnp.int32)
+        corner_xyz = left_i[None, :, :] + corners[:, :, None]    # [2^D,D,N]
+        rows_list.append(_level_indices_t(spec, lvl, corner_xyz))
+        w = jnp.ones((corners.shape[0], N), dtype=u.dtype)
+        for d in range(D):
+            bit = corners[:, d:d + 1]
+            w = w * jnp.where(bit == 1, wb[d][None, :], wa[d][None, :])
+        w_list.append(w)
+        if _blocked_lvl(spec, lvl):
+            lc = jnp.clip(left_i, 0, res - 1)
+            cells_list.append((lc[2] * res + lc[1]) * res + lc[0])
+
+    rows_all = jnp.stack(rows_list)                     # [L, 2^D, N]
+    cells = (jnp.stack(cells_list) if cells_list
+             else jnp.zeros((0, N), jnp.int32))
+    vals = _grid_corner_values(spec, emb_tc, rows_all, cells)
+    vals = _checkpoint_name(vals, "hash_gather")        # [L, 2^D, N, C]
+
+    outs = [(w_list[l][:, :, None] * vals[l]).sum(axis=0)
+            for l in range(spec.num_levels)]            # [N, C] each
+    feats = jnp.concatenate(outs, axis=-1)              # [N, L*C]
+    feats = jnp.where(oob[:, None], 0.0, feats)
+    return feats.reshape(*prefix, spec.output_dim)
 
 
 # ---------------------------------------------------------------------------

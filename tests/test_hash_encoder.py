@@ -287,3 +287,92 @@ def test_fields_analytic_outputs_match_vjp(rng):
     for a, v in zip(fa, fv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(v),
                                    rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Unified sorted-backward encode (big-grid path, hash_encoder.py
+# _hash_encode_unified / _grid_corner_values)
+# ---------------------------------------------------------------------------
+
+def _mixed_spec():
+    # dense + hashed mix like the color grid, tiny tables
+    return he.make_spec(input_dim=3, num_levels=6, level_dim=2,
+                        base_resolution=4, desired_resolution=32,
+                        log2_hashmap_size=10)
+
+
+def test_unified_forward_matches_standard(rng):
+    spec = _mixed_spec()
+    nprng = np.random.default_rng(3)
+    emb = he.init_hash_params(nprng, spec) * 1e4
+    x = jnp.asarray(nprng.uniform(-1.05, 1.05, (513, 3)).astype(np.float32))
+    ref = he.hash_encode(spec, emb, x)          # small tables: standard path
+    uni = he._hash_encode_unified(spec, emb, x)
+    np.testing.assert_allclose(np.asarray(uni), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_unified_gradients_match_standard(rng):
+    """demb (the sorted-scatter backward) and dx must equal the standard
+    custom_jvp path's gradients; exercised with the threshold forced low so
+    BOTH the small-level direct scatter and the big-level sorted scatter
+    branches run (levels straddle the patched threshold)."""
+    spec = _mixed_spec()
+    nprng = np.random.default_rng(3)
+    emb = he.init_hash_params(nprng, spec) * 1e4
+    x = jnp.asarray(nprng.uniform(-0.95, 0.95, (257, 3)).astype(np.float32))
+
+    old_min, old_sorted = he.SORTED_BWD_MIN_ENTRIES, he.SORTED_BWD
+    try:
+        # median level size so both bwd branches are non-empty
+        sizes = sorted(spec.offsets[l + 1] - spec.offsets[l]
+                       for l in range(spec.num_levels))
+        he.SORTED_BWD_MIN_ENTRIES = sizes[len(sizes) // 2]
+        g_uni = jax.grad(
+            lambda e, xx: (he._hash_encode_unified(spec, e, xx) ** 2).sum(),
+            argnums=(0, 1))(emb, x)
+        he.SORTED_BWD = False   # keep hash_encode off the unified route
+        g_ref = jax.grad(
+            lambda e, xx: (he.hash_encode(spec, e, xx) ** 2).sum(),
+            argnums=(0, 1))(emb, x)
+    finally:
+        he.SORTED_BWD_MIN_ENTRIES, he.SORTED_BWD = old_min, old_sorted
+    for a, b, name in [(g_ref[0], g_uni[0], "demb"), (g_ref[1], g_uni[1], "dx")]:
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=3e-6 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_unified_under_checkpoint_policy(rng):
+    """The scene-model usage: unified encode inside jax.checkpoint with the
+    save_only_these_names("hash_gather") policy."""
+    spec = _mixed_spec()
+    nprng = np.random.default_rng(3)
+    emb = he.init_hash_params(nprng, spec) * 1e4
+    x = jnp.asarray(nprng.uniform(-0.9, 0.9, (129, 3)).astype(np.float32))
+    pol = jax.checkpoint_policies.save_only_these_names("hash_gather")
+    f = jax.checkpoint(
+        lambda e: (he._hash_encode_unified(spec, e, x) ** 3).sum(),
+        policy=pol)
+    g1 = jax.grad(f)(emb)
+    old = he.SORTED_BWD
+    try:
+        he.SORTED_BWD = False
+        g2 = jax.grad(lambda e: (he.hash_encode(spec, e, x) ** 3).sum())(emb)
+    finally:
+        he.SORTED_BWD = old
+    scale = float(jnp.abs(g2).max())
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=0, atol=3e-6 * max(scale, 1.0))
+
+
+def test_unified_oob_zero_grad(rng):
+    spec = _mixed_spec()
+    emb = he.init_hash_params(np.random.default_rng(3), spec) * 1e4
+    x = jnp.asarray(np.array([[1.5, 0.0, 0.0], [0.0, -2.0, 0.5]],
+                             np.float32))
+    out = he._hash_encode_unified(spec, emb, x)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    g = jax.grad(lambda e: he._hash_encode_unified(spec, e, x).sum())(emb)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
