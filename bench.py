@@ -89,6 +89,9 @@ def main():
         edge_valid=jnp.ones((Emax,), bool),
         flow_imgs=jnp.asarray(rng.normal(size=(Emax, HW, 2)).astype(np.float16)),
         flow_occ=jnp.ones((Emax, HW), bool),
+        # always-an-array like SLAMRunner passes it (ones = reference
+        # behavior) so bench and runner share one compiled graph family
+        slot_conf=jnp.ones((Smax,), jnp.float32),
     )
 
     from nicer_slam_tpu.models.scene_model import build_density_cache

@@ -176,12 +176,15 @@ def _gaussian_window(ps: int, sigma: float = 1.5) -> jnp.ndarray:
     return (g[:, None] * g[None, :]).reshape(-1)       # [ps*ps], sums to 1
 
 
-def warp_ssim(sampled_rgb, gt_rgb, mask, ps: int):
+def warp_ssim(sampled_rgb, gt_rgb, mask, ps: int, patch_w=None):
     """Per-patch gaussian SSIM warp loss (loss.py:139-149 "ssim" path:
     pytorch_msssim SSIM with win_size=patchsize -> one valid position per
     patch). Masked elements are zeroed first, exactly like the reference;
     fully-masked patches yield SSIM 1 and contribute zero loss. Returns
-    (1 - mean ssim) — the caller applies the reference's 0.05 factor."""
+    (1 - mean ssim) — the caller applies the reference's 0.05 factor.
+
+    patch_w: optional [S,R] per-patch weight (confidence-weighted mapping);
+    the mean becomes weight-normalized, exactly the plain mean at all-ones."""
     m = mask[..., None].astype(sampled_rgb.dtype)
     x = (sampled_rgb * m).reshape(-1, ps * ps, 3)
     y = (jnp.broadcast_to(gt_rgb[None], sampled_rgb.shape) * m
@@ -195,7 +198,10 @@ def warp_ssim(sampled_rgb, gt_rgb, mask, ps: int):
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim = (((2 * mu1 * mu2 + C1) * (2 * s12 + C2))
             / ((mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2)))
-    return 1.0 - ssim.mean()
+    if patch_w is None:
+        return 1.0 - ssim.mean()
+    w = jnp.broadcast_to(patch_w.reshape(-1)[:, None], ssim.shape)
+    return 1.0 - (ssim * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -220,18 +226,25 @@ def compute_losses(
     normal_pred = outputs["normal_map"]
     ray_valid = batch.ray_valid
 
+    # per-ray loss weight = validity x optional confidence (RayBatch.
+    # ray_weight); every per-ray masked mean below normalizes by the weight
+    # sum, so all-ones/None reproduces the reference's plain masked means.
+    rw = ray_valid.astype(jnp.float32)
+    if batch.ray_weight is not None:
+        rw = rw * batch.ray_weight
+
     # is_first_frame is TRACED (bool or scalar array): the frame-0 anchor
     # regime shares the compiled graph with regular frames (map_step compile
     # variants are expensive; a where-select is free).
     ff = jnp.asarray(is_first_frame, jnp.float32)
 
     terms: Dict[str, jnp.ndarray] = {}
-    terms["rgb_loss"] = rgb_l1(rgb_pred, gt["rgb"], ray_valid)
+    terms["rgb_loss"] = rgb_l1(rgb_pred, gt["rgb"], rw)
 
     # foreground mask: SDF sign change along the ray & dataset mask
     sdf = outputs["sdf"]
     sign_change = jnp.any(sdf > 0.0, axis=-1) & jnp.any(sdf < 0.0, axis=-1)
-    mask = sign_change & (gt["mask"][:, 0] > 0.5) & ray_valid
+    mask = (sign_change & (gt["mask"][:, 0] > 0.5)).astype(jnp.float32) * rw
 
     # warp: sum over configured patchsizes (loss.py:132-155); ps==1 always
     # uses l1, ps>1 uses l1 or gaussian-window SSIM x0.05 per warp_loss_type
@@ -242,12 +255,18 @@ def compute_losses(
             ps = int(key.rsplit("_", 1)[1])
             sampled = outputs[key]
             gt_patch = outputs[f"warp_gt_rgb_{ps}"]
-            wmask = outputs[f"warp_mask_{ps}"]
+            wmask = outputs[f"warp_mask_{ps}"]            # [S,R,pp] bool
+            if batch.ray_weight is not None:
+                wmask_w = wmask.astype(jnp.float32) * rw[None, :, None]
+                patch_w = jnp.broadcast_to(rw[None, :],
+                                           wmask.shape[:2])
+            else:
+                wmask_w, patch_w = wmask, None
             if ps == 1 or cfg.warp_loss_type == "l1":
-                warp_total = warp_total + warp_l1(sampled, gt_patch, wmask)
+                warp_total = warp_total + warp_l1(sampled, gt_patch, wmask_w)
             elif cfg.warp_loss_type == "ssim":
-                warp_total = warp_total + 0.05 * warp_ssim(sampled, gt_patch,
-                                                           wmask, ps)
+                warp_total = warp_total + 0.05 * warp_ssim(
+                    sampled, gt_patch, wmask, ps, patch_w=patch_w)
             else:
                 raise ValueError(
                     f"unknown warp_loss_type {cfg.warp_loss_type}")
@@ -270,7 +289,7 @@ def compute_losses(
 
     # monocular (scale/shift-invariant) depth
     if cfg.depth_weight > 0:
-        depth_mask = (jnp.ones_like(mask) & ray_valid) if cfg.full_depth_mask else mask
+        depth_mask = rw if cfg.full_depth_mask else mask
         terms["depth_loss"] = ssi_depth_loss(
             depth_pred, gt["depth"][:, 0] * 50.0 + 0.5,
             depth_mask.astype(depth_pred.dtype), batch.kf_slot, num_slots)
@@ -294,7 +313,7 @@ def compute_losses(
     if gt_depth_static_on:
         # mask is (gt_depth > 0) even for frame 0's mono-rebased target
         # (loss.py:186-187)
-        gt_depth_mask = (gt["gt_depth"][:, 0] > 0) & ray_valid
+        gt_depth_mask = (gt["gt_depth"][:, 0] > 0).astype(jnp.float32) * rw
         terms["gt_depth_loss"] = gt_depth_l1(depth_pred, depth_real_gt,
                                              gt_depth_mask)
     else:
@@ -315,8 +334,7 @@ def compute_losses(
             (batch.kf_slot[None, :] == edges.idii[:, None])
             & edges.valid[:, None]
             & flow_mask
-            & ray_valid[None, :]
-        )
+        ).astype(jnp.float32) * rw[None, :]
         terms["flow_loss"] = flow_l1(outputs["flow"], flow_gt, e_mask)
     else:
         terms["flow_loss"] = jnp.asarray(0.0)

@@ -172,6 +172,11 @@ class RayBatch(NamedTuple):
     frame_ids: jnp.ndarray   # [S] int32 global frame index per slot
     slot_valid: jnp.ndarray  # [S] bool
     ray_valid: jnp.ndarray   # [R] bool
+    # optional per-ray loss weight in [0,1] (confidence-weighted mapping:
+    # downweight rays from recently-tracked, not-yet-BA-refined poses so
+    # drifted poses don't write authoritative geometry). None = all-ones,
+    # which is exactly the reference behavior.
+    ray_weight: Optional[jnp.ndarray] = None  # [R] float32
 
 
 class FlowEdges(NamedTuple):

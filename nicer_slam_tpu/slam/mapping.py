@@ -47,6 +47,43 @@ class MapBatchRefs(NamedTuple):
     edge_valid: jnp.ndarray    # [E] bool
     flow_imgs: jnp.ndarray     # [E, HW, 2] float16
     flow_occ: jnp.ndarray      # [E, HW] bool (True = usable)
+    # optional [Smax] per-slot loss confidence (None = reference behavior);
+    # rays inherit their slot's weight — see RayBatch.ray_weight
+    slot_conf: Optional[jnp.ndarray] = None
+
+
+def slot_confidence(kfs, frame_idx: int, max_slots: int,
+                    keyframe_every: int, track_residual,
+                    floor: float = 0.3, recency_kf: float = 2.0,
+                    residual_beta: float = 0.0):
+    """Host-side per-slot loss confidence (drift-loop damping).
+
+    The drift feedback loop: tracking drifts a little -> mapping ingests the
+    freshly-tracked pose at full weight and writes drifted geometry -> the
+    corrupted map degrades subsequent tracking, compounding. BA only refines
+    a pose on later mapping calls, so the youngest poses are the least
+    reliable ones yet the reference weights them equally. This downweights a
+    slot's rays by pose age — floor at age 0 ramping linearly to 1.0 over
+    recency_kf keyframe periods — and (residual_beta > 0) divides by
+    1 + beta*max(residual/median - 1, 0) for frames whose final tracking
+    residual was above the window median. Frame 0 (GT-pinned) stays 1.
+    """
+    import numpy as np  # host-side
+
+    conf = np.ones((max_slots,), np.float32)
+    res = [track_residual[kf] for kf in kfs if kf in track_residual]
+    med = float(np.median(res)) if res else 0.0
+    ramp_span = max(keyframe_every * recency_kf, 1.0)
+    for s, kf in enumerate(kfs[:max_slots]):
+        if kf == 0:
+            continue
+        age = frame_idx - kf
+        w = floor + (1.0 - floor) * min(age / ramp_span, 1.0)
+        r = track_residual.get(kf)
+        if residual_beta > 0 and r is not None and med > 0:
+            w /= 1.0 + residual_beta * max(r / med - 1.0, 0.0)
+        conf[s] = w
+    return conf
 
 
 def _ray_slots(R: int, n_valid: jnp.ndarray):
@@ -138,12 +175,15 @@ def map_step(
 
     slot_valid = jnp.arange(Smax) < refs.n_valid
 
+    ray_weight = (refs.slot_conf[slot] if refs.slot_conf is not None
+                  else None)
+
     def loss_fn(p, q):
         poses = camera_from_tensor(q)                 # [Smax,4,4]
         batch = sm.RayBatch(
             uv=uv, kf_slot=slot, poses=poses, intrinsics=refs.intrinsics,
             frame_ids=refs.frame_ids, slot_valid=slot_valid,
-            ray_valid=ray_valid)
+            ray_valid=ray_valid, ray_weight=ray_weight)
         out = sm.render_rays(
             scene_cfg, p, voxels, batch, k_render,
             stage=stage, color_stage=color_stage, training=True,

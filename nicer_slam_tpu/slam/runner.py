@@ -29,7 +29,7 @@ from ..utils.camera import camera_from_tensor_np, tensor_from_camera_np
 from . import checkpoint as ckpt
 from .frame_store import FrameStore
 from .keyframes import KeyframeConfig, KeyframeSelector
-from .mapping import MapBatchRefs, MapConfig, map_step
+from .mapping import MapBatchRefs, MapConfig, map_step, slot_confidence
 from .state import OptimConfig, make_optimizer
 from .tracking import TrackConfig, track_frame
 from ..utils.profiling import PhaseTimer
@@ -81,6 +81,17 @@ class SLAMRunner:
         self.num_cam_iters = c.get_int("SLAM.tracking.iters")
         self.enable_BA = c.get_bool("SLAM.mapping.BA")
         self.BA_ratio = c.get_float("SLAM.mapping.BA_ratio", 0.7)
+        # confidence-weighted mapping (drift-loop damping, off = reference
+        # behavior): rays from recently-tracked poses — which BA has not yet
+        # refined — get loss weight conf_floor, ramping to 1.0 once the pose
+        # is conf_recency_kf keyframe periods old; optionally scaled down for
+        # frames whose final tracking residual was above the window median.
+        self.conf_weight = c.get_bool("SLAM.mapping.conf_weight", False)
+        self.conf_floor = c.get_float("SLAM.mapping.conf_floor", 0.3)
+        self.conf_recency_kf = c.get_float("SLAM.mapping.conf_recency_kf", 2.0)
+        self.conf_residual_beta = c.get_float(
+            "SLAM.mapping.conf_residual_beta", 0.0)
+        self.track_residual: Dict[int, float] = {}
         self.gt_cam = c.get_bool("SLAM.tracking.gt_cam", False)
         self.const_speed = c.get_bool("SLAM.tracking.const_speed_assumption", False)
         self.verbose = c.get_bool("SLAM.verbose", False)
@@ -372,6 +383,7 @@ class SLAMRunner:
             box["sync"] = aux["best_loss"]
         c2w = camera_from_tensor_np(np.asarray(best_q))
         self.est_pose_all[frame_idx] = c2w
+        self.track_residual[frame_idx] = float(aux["best_loss"])
         if self.verbose:
             losses = np.asarray(aux["losses"])
             gt_q = tensor_from_camera_np(gt_c2w)
@@ -443,7 +455,22 @@ class SLAMRunner:
             jnp.asarray(edge_valid), jnp.asarray(flow_imgs),
             jnp.asarray(flow_occ))
 
-    def _prepare_refs(self, keyframe_list: List[int]) -> MapBatchRefs:
+    def _slot_confidence(self, kfs: List[int],
+                         frame_idx: int) -> Optional[np.ndarray]:
+        """[Smax] per-slot loss confidence (see mapping.slot_confidence for
+        the policy). Always an array — all-ones when the feature is off —
+        so conf on/off never forks a new map_step compile variant (the
+        weighting is a runtime input, not a graph change)."""
+        if not self.conf_weight:
+            return np.ones((self.map_cfg.max_slots,), np.float32)
+        return slot_confidence(
+            kfs, frame_idx, self.map_cfg.max_slots, self.keyframe_every,
+            self.track_residual, floor=self.conf_floor,
+            recency_kf=self.conf_recency_kf,
+            residual_beta=self.conf_residual_beta)
+
+    def _prepare_refs(self, keyframe_list: List[int],
+                      frame_idx: int) -> MapBatchRefs:
         """Per-iteration slot data (the global keyframe draw changes every
         iteration for frame>=global_window_start); edge/flow arrays come
         from the per-call _prepare_edge_refs."""
@@ -460,6 +487,7 @@ class SLAMRunner:
             frame_ids[s] = kf
             intr[s] = self.dataset.intrinsics_all[kf]
 
+        slot_conf = self._slot_confidence(kfs, frame_idx)
         idii, idjj, valid, flow_imgs, flow_occ = self._edge_refs
         return MapBatchRefs(
             slot_rows=jnp.asarray(slot_rows),
@@ -471,6 +499,7 @@ class SLAMRunner:
             edge_valid=valid,
             flow_imgs=flow_imgs,
             flow_occ=flow_occ,
+            slot_conf=jnp.asarray(slot_conf),
         )
 
     def map(self, frame_idx: int, vis_hook=None):
@@ -501,7 +530,7 @@ class SLAMRunner:
                 self._prepare_edge_refs(win.edges)
             # slot refs change when the keyframe set changes (every iter for
             # frame>=global_window_start: the global draw is fresh each time)
-            refs = self._prepare_refs(kfs)
+            refs = self._prepare_refs(kfs, frame_idx)
 
             poses_q = np.zeros((Smax, 7), np.float32)
             poses_q[:, 0] = 1.0

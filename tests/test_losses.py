@@ -143,3 +143,129 @@ def test_tracking_loss_rgb_only():
     terms = L.compute_losses(cfg, outputs, gt, batch, stage="fine",
                              num_slots=S)
     np.testing.assert_allclose(float(terms["loss"]), 0.5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Confidence-weighted mapping (RayBatch.ray_weight / mapping.slot_confidence)
+# ---------------------------------------------------------------------------
+
+def _full_outputs_gt(R, S, E, rng):
+    outputs = {
+        "rgb_values": jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+        "depth_values": jnp.asarray(rng.uniform(0.5, 2, (R, 1)).astype(np.float32)),
+        "normal_map": jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32)),
+        "sdf": jnp.asarray(rng.normal(size=(R, 8)).astype(np.float32)),
+        "grad_theta": jnp.ones((R, 3)),
+        "grad_theta_nei": jnp.ones((R, 3)),
+        "flow": jnp.asarray(rng.normal(size=(E, R, 2)).astype(np.float32)),
+        "warp_sampled_rgb_1": jnp.asarray(
+            rng.uniform(0, 1, (S, R, 1, 3)).astype(np.float32)),
+        "warp_gt_rgb_1": jnp.asarray(
+            rng.uniform(0, 1, (R, 1, 3)).astype(np.float32)),
+        "warp_mask_1": jnp.asarray(rng.uniform(size=(S, R, 1)) > 0.3),
+    }
+    gt = {
+        "rgb": jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0, 1, (R, 1)).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32)),
+        "gt_depth": jnp.asarray(rng.uniform(0.5, 2, (R, 1)).astype(np.float32)),
+        "mask": jnp.ones((R, 1)),
+    }
+    return outputs, gt
+
+
+_FULL_CFG = dict(rgb_loss_weight=1.0, eikonal_weight=0.1, smooth_weight=0.005,
+                 depth_weight=0.1, normal_l1_weight=0.05,
+                 normal_cos_weight=0.05, gt_depth_weight=0.5,
+                 flow_weight=0.001, warp_loss_weight=0.5)
+
+
+def test_ray_weight_ones_matches_none():
+    """All-ones ray_weight must reproduce the reference (None) losses
+    exactly, term by term."""
+    R, S, E = 32, 4, 3
+    rng = np.random.default_rng(7)
+    batch = make_batch(R, S)
+    outputs, gt = _full_outputs_gt(R, S, E, rng)
+    cfg = L.LossConfig(**_FULL_CFG)
+    edges = FlowEdges(idii=jnp.array([0, 1, 2]), idjj=jnp.array([1, 2, 3]),
+                      valid=jnp.ones(3, dtype=bool))
+    kw = dict(stage="fine", is_first_frame=False, num_slots=S,
+              flow_gt=jnp.asarray(rng.normal(size=(E, R, 2)).astype(np.float32)),
+              flow_mask=jnp.ones((E, R), dtype=bool), edges=edges)
+    t_none = L.compute_losses(cfg, outputs, gt, batch, **kw)
+    t_ones = L.compute_losses(
+        cfg, outputs, gt, batch._replace(ray_weight=jnp.ones((R,))), **kw)
+    for k in t_none:
+        np.testing.assert_allclose(np.asarray(t_ones[k]), np.asarray(t_none[k]),
+                                   rtol=1e-6, err_msg=k)
+
+
+def test_ray_weight_zero_equals_invalid():
+    """Weight-0 rays must drop out of every per-ray term exactly like
+    ray_valid=False rays do (eikonal/smooth act on eikonal points, not rays,
+    and are excluded)."""
+    R, S, E = 32, 4, 3
+    rng = np.random.default_rng(8)
+    batch = make_batch(R, S)
+    outputs, gt = _full_outputs_gt(R, S, E, rng)
+    cfg = L.LossConfig(**_FULL_CFG)
+    edges = FlowEdges(idii=jnp.array([0, 1, 2]), idjj=jnp.array([1, 2, 3]),
+                      valid=jnp.ones(3, dtype=bool))
+    kw = dict(stage="fine", is_first_frame=False, num_slots=S,
+              flow_gt=jnp.asarray(rng.normal(size=(E, R, 2)).astype(np.float32)),
+              flow_mask=jnp.ones((E, R), dtype=bool), edges=edges)
+    drop = np.zeros(R, bool)
+    drop[::3] = True
+    w = jnp.asarray((~drop).astype(np.float32))
+    t_w = L.compute_losses(cfg, outputs, gt,
+                           batch._replace(ray_weight=w), **kw)
+    # the render folds ray_valid into warp_mask_* (scene_model.py render
+    # path); these synthetic outputs bypass the render, so mirror that here
+    outputs_v = dict(outputs)
+    outputs_v["warp_mask_1"] = (outputs["warp_mask_1"]
+                                & jnp.asarray(~drop)[None, :, None])
+    t_v = L.compute_losses(cfg, outputs_v, gt,
+                           batch._replace(ray_valid=jnp.asarray(~drop)), **kw)
+    for k in ("rgb_loss", "gt_depth_loss", "depth_loss", "flow_loss",
+              "warp_loss", "normal_l1", "normal_cos"):
+        np.testing.assert_allclose(np.asarray(t_w[k]), np.asarray(t_v[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_ray_weight_ssim_path():
+    """SSIM warp path: ones-weight == unweighted; weighting changes the
+    patch average in the right direction."""
+    S, R, ps = 2, 8, 3
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, 1, (S, R, ps * ps, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (R, ps * ps, 3)).astype(np.float32))
+    m = jnp.ones((S, R, ps * ps), bool)
+    base = L.warp_ssim(x, y, m, ps)
+    ones = L.warp_ssim(x, y, m, ps, patch_w=jnp.ones((S, R)))
+    np.testing.assert_allclose(float(ones), float(base), rtol=1e-6)
+    # make patches of ray 0 perfect matches; upweighting them lowers loss
+    x2 = x.at[:, 0].set(y[None, 0])
+    w = jnp.ones((S, R)).at[:, 0].set(10.0)
+    assert float(L.warp_ssim(x2, y, m, ps, patch_w=w)) < float(
+        L.warp_ssim(x2, y, m, ps))
+
+
+def test_slot_confidence_policy():
+    from nicer_slam_tpu.slam.mapping import slot_confidence
+    res = {10: 0.1, 20: 0.1, 30: 0.4, 31: 0.1}
+    conf = slot_confidence([0, 10, 20, 30, 31], 31, max_slots=8,
+                           keyframe_every=10, track_residual=res,
+                           floor=0.3, recency_kf=2.0, residual_beta=1.0)
+    assert conf.shape == (8,)
+    assert conf[0] == 1.0                       # frame 0 pinned
+    assert conf[1] == 1.0                       # age 21 > 20 -> full
+    np.testing.assert_allclose(conf[2], 0.3 + 0.7 * (11 / 20.0), rtol=1e-6)
+    # frame 30: age 1, residual 4x median -> ramp * 1/(1+3)
+    ramp30 = 0.3 + 0.7 * (1 / 20.0)
+    np.testing.assert_allclose(conf[3], ramp30 / (1 + (0.4 / 0.1 - 1.0)),
+                               rtol=1e-6)
+    # current frame (age 0): the floor
+    np.testing.assert_allclose(conf[4], 0.3, rtol=1e-6)
+    # padded slots stay 1 (they're masked out by slot_valid anyway)
+    assert np.all(conf[5:] == 1.0)

@@ -26,6 +26,10 @@ SLAM {{
         keyframe_every = 10
         mapping_every_frame = {mef}
         iters = {map_iters}
+        conf_weight = {conf_weight}
+        conf_floor = {conf_floor}
+        conf_recency_kf = {conf_recency_kf}
+        conf_residual_beta = {conf_residual_beta}
     }}
     tracking {{ gt_cam = {gt_cam}  lr = {track_lr}  iters = {track_iters}  Hedge = 0  Wedge = 0 }}
 }}
@@ -142,6 +146,9 @@ def run_probe(args, data_dir=None):
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
+        conf_weight="true" if args.conf_weight else "false",
+        conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
+        conf_residual_beta=args.conf_residual_beta,
         density=args.density, beta_warmup=args.beta_warmup,
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
         prepass=args.prepass, cache_res=args.cache_res)
@@ -206,6 +213,11 @@ def build_argparser():
     p.add_argument("--window", type=int, default=6,
                    help="mapping_window_size (reference demo: 15)")
     p.add_argument("--ba_ratio", type=float, default=0.7)
+    p.add_argument("--conf_weight", action="store_true",
+                   help="confidence-weighted mapping (drift-loop damping)")
+    p.add_argument("--conf_floor", type=float, default=0.3)
+    p.add_argument("--conf_recency_kf", type=float, default=2.0)
+    p.add_argument("--conf_residual_beta", type=float, default=0.0)
     p.add_argument("--rad_per_frame", type=float, default=0.03,
                    help="per-frame camera motion; 0.003 = Replica-at-2000-"
                         "frames regime (10x slower than the demo default)")
