@@ -538,30 +538,15 @@ def _blocked_lvl(spec: HashGridSpec, lvl: int) -> bool:
     return DENSE_BLOCK and spec.dense[lvl] and spec.input_dim == 3
 
 
-def _dense_block_table_tc(spec: HashGridSpec, emb_tc: jnp.ndarray,
-                          lvl: int) -> jnp.ndarray:
-    """_dense_block_table from the [T, C] view: [res^3, 8*C] via 8 rolls."""
-    res = spec.resolutions[lvl]
-    C = emb_tc.shape[1]
-    sl = emb_tc[spec.offsets[lvl]:spec.offsets[lvl + 1]].T   # [C, res^3]
-    vol = sl.reshape(C, res, res, res)                       # [C, z, y, x]
-    corners = _corner_offsets(spec.input_dim)
-    shifted = []
-    for dx, dy, dz in corners:
-        v = vol
-        if dz:
-            v = jnp.roll(v, -1, axis=1)
-        if dy:
-            v = jnp.roll(v, -1, axis=2)
-        if dx:
-            v = jnp.roll(v, -1, axis=3)
-        shifted.append(v.reshape(C, -1))
-    return jnp.concatenate(shifted, axis=0).T                # [res^3, 8C]
-
-
-def _gcv_impl(spec: HashGridSpec, emb_tc: jnp.ndarray,
+def _gcv_impl(spec: HashGridSpec, embeddings: jnp.ndarray,
               rows_all: jnp.ndarray, cells: jnp.ndarray) -> jnp.ndarray:
     """Mixed fast-path corner-value fetch: [L, 2^D, N, C].
+
+    ``embeddings`` is the native [C, T] param; the [T, C] row-gather view
+    is transposed here INSIDE the vjp primal (XLA folds the transpose into
+    the gathers — materializing a [T, C] array at the color grid's T=133M
+    would tile-pad C=2 lanes to 128 and ask for 68 GB, which is exactly why
+    the vjp boundary carries [C, T], not [T, C]).
 
     rows_all [L, 2^D, N] global table rows per level/corner; cells
     [n_blocked, N] dense cell ids for the cell-block levels (in level
@@ -571,12 +556,13 @@ def _gcv_impl(spec: HashGridSpec, emb_tc: jnp.ndarray,
     whose interpolation weight is exactly zero (boundary clip), so the
     backward may scatter at rows_all for every level."""
     L, K, N = rows_all.shape
-    C = emb_tc.shape[1]
+    C = embeddings.shape[0]
+    emb_tc = embeddings.T                                    # [T, C] view
     out = []
     di = 0
     for lvl in range(L):
         if _blocked_lvl(spec, lvl):
-            blocked = _dense_block_table_tc(spec, emb_tc, lvl)  # [res^3, 8C]
+            blocked = _dense_block_table(spec, embeddings, lvl)  # [res^3,8C]
             r = blocked[cells[di]]                              # [N, 8C]
             di += 1
             out.append(r.reshape(N, K, C).transpose(1, 0, 2))   # [K, N, C]
@@ -586,14 +572,15 @@ def _gcv_impl(spec: HashGridSpec, emb_tc: jnp.ndarray,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _grid_corner_values(spec: HashGridSpec, emb_tc: jnp.ndarray,
+def _grid_corner_values(spec: HashGridSpec, embeddings: jnp.ndarray,
                         rows_all: jnp.ndarray,
                         cells: jnp.ndarray) -> jnp.ndarray:
-    return _gcv_impl(spec, emb_tc, rows_all, cells)
+    return _gcv_impl(spec, embeddings, rows_all, cells)
 
 
-def _gcv_fwd(spec, emb_tc, rows_all, cells):
-    return _gcv_impl(spec, emb_tc, rows_all, cells), (rows_all, cells.shape)
+def _gcv_fwd(spec, embeddings, rows_all, cells):
+    return (_gcv_impl(spec, embeddings, rows_all, cells),
+            (rows_all, cells.shape))
 
 
 def _gcv_bwd(spec, residuals, g):
@@ -605,15 +592,17 @@ def _gcv_bwd(spec, residuals, g):
     big = tuple(l for l in range(L) if sizes[l] >= SORTED_BWD_MIN_ENTRIES)
     small = tuple(l for l in range(L) if sizes[l] < SORTED_BWD_MIN_ENTRIES)
 
-    # [T*C] row-major flat accumulation: element id = row*C + c keeps the
-    # sorted-key monotonicity after the per-channel offset
-    flat = jnp.zeros((T * C,), g.dtype)
+    # [C*T] CHANNEL-major flat accumulation (element id = c*T + row, still
+    # sorted per channel) so the final reshape is the param's own [C, T]
+    # shape — a [T, C] reshape at T=133M gets the (8,128)-tiled layout and
+    # allocates 64x (68 GB, the round-3 bench OOM).
+    flat = jnp.zeros((C * T,), g.dtype)
     if small:
         idx = jnp.asarray(small)
         r = rows_all[idx].reshape(-1)                    # [n_small*K*N]
         gs = g[idx].reshape(-1, C)
         for c in range(C):
-            flat = flat.at[r * C + c].add(gs[:, c])
+            flat = flat.at[c * T + r].add(gs[:, c])
     if big:
         idx = jnp.asarray(big)
         rb = rows_all[idx].reshape(-1)                   # [Mb]
@@ -621,12 +610,12 @@ def _gcv_bwd(spec, residuals, g):
         srt = jax.lax.sort([rb] + [gb[:, c] for c in range(C)], num_keys=1)
         kb = srt[0]
         for c in range(C):
-            flat = flat.at[kb * C + c].add(srt[1 + c],
+            flat = flat.at[c * T + kb].add(srt[1 + c],
                                            indices_are_sorted=True)
-    demb_tc = flat.reshape(T, C)
+    demb = flat.reshape(C, T)
     rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
     cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
-    return demb_tc, rows_ct, cells_ct
+    return demb, rows_ct, cells_ct
 
 
 _grid_corner_values.defvjp(_gcv_fwd, _gcv_bwd)
@@ -645,7 +634,6 @@ def _hash_encode_unified(spec: HashGridSpec, embeddings: jnp.ndarray,
     corners = jnp.asarray(_corner_offsets(D))           # [2^D, D]
     u_t = u.T                                           # [D, N]
     C = spec.level_dim
-    emb_tc = embeddings.T                               # [T, C]
 
     rows_list = []
     cells_list = []
@@ -673,7 +661,7 @@ def _hash_encode_unified(spec: HashGridSpec, embeddings: jnp.ndarray,
     rows_all = jnp.stack(rows_list)                     # [L, 2^D, N]
     cells = (jnp.stack(cells_list) if cells_list
              else jnp.zeros((0, N), jnp.int32))
-    vals = _grid_corner_values(spec, emb_tc, rows_all, cells)
+    vals = _grid_corner_values(spec, embeddings, rows_all, cells)
     vals = _checkpoint_name(vals, "hash_gather")        # [L, 2^D, N, C]
 
     outs = [(w_list[l][:, :, None] * vals[l]).sum(axis=0)
