@@ -186,7 +186,9 @@ def run_probe(args, data_dir=None):
     print(f"RESULT ate={ate:.4f} psnr={p:.2f} depth_mae={dmae:.4f} "
           f"sdf=[{v.min():.2f},{v.max():.2f}] fneg={(v<0).mean():.2f} "
           f"wall={time.time()-t0:.0f}s", flush=True)
-    return r
+    metrics = {"ate": float(ate), "psnr": float(p), "depth_mae": dmae,
+               "wall_s": time.time() - t0}
+    return r, metrics
 
 
 def build_argparser():

@@ -1,0 +1,149 @@
+"""Long-sequence realistic-motion evaluation (the reference demo recipe at
+README.md:143-171 scale, on the slow-motion synthetic).
+
+Replica sequences are ~2000 frames with ~10x smaller per-frame motion than
+our 210-frame demo synthetic. This driver generates a >=1000-frame
+slow-motion scan (``--rad_per_frame 0.003`` = the Replica-at-2000-frames
+motion regime, closed-form GT), runs the COMPLETE pipeline —
+SLAMRunner.run() (tracking + mapping + BA + checkpoints), then the full
+eval battery the reference ships:
+
+  * eval_cam      ATE/rot/trans on the estimated trajectory (sim3 prealign)
+  * eval_rec      mesh accuracy/completion/Chamfer/F-score vs the analytic
+                  GT mesh (marching cubes on the scene's closed-form SDF)
+  * eval_rendering PSNR/SSIM/LPIPS, interpolate + extrapolate protocols
+
+Usage:
+  python tools/long_seq_eval.py --frames 1000 --iters 60 --track_iters 60 \
+      --rays 4096 --track_rays 1024 --conf_weight --ba \
+      [--out /tmp/long_seq_eval.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convergence_probe import CONF_TEMPLATE, build_argparser  # noqa: E402
+
+
+def main():
+    p = build_argparser()
+    p.add_argument("--out", default="/tmp/long_seq_eval.json")
+    p.add_argument("--mesh_res", type=int, default=256)
+    p.add_argument("--n_eval_views", type=int, default=8)
+    p.add_argument("--data_dir", default=None,
+                   help="reuse a previously generated scan dir")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/nicer_slam_tpu_jax_cache")
+    import numpy as np
+
+    from nicer_slam_tpu.datasets.scene_dataset import SLAMDataset
+    from nicer_slam_tpu.datasets.synthetic import (generate, generate_eval,
+                                                   scene_sdf)
+    from nicer_slam_tpu.evaluation.eval_cam import evaluate_run
+    from nicer_slam_tpu.evaluation.eval_rec import calc_3d_metric
+    from nicer_slam_tpu.evaluation.eval_rendering import evaluate_rendering
+    from nicer_slam_tpu.ops.marching_cubes import extract_mesh
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+    from nicer_slam_tpu.utils.plots import save_mesh
+    from nicer_slam_tpu.utils.ply import write_ply
+
+    tmp = tempfile.mkdtemp(prefix="long_seq_")
+    if args.data_dir:
+        data_dir = args.data_dir
+    else:
+        data_dir = os.path.join(tmp, "Synthetic")
+        print(f"[long_seq] generating {args.frames} frames "
+              f"(rad/frame {args.rad_per_frame}) -> {data_dir}", flush=True)
+        generate(data_dir, scan_id=1, n_frames=args.frames, H=args.H,
+                 W=args.W, world_scale=3.0, with_flow=True,
+                 rad_per_frame=args.rad_per_frame)
+        generate_eval(data_dir, scan_id=1, n_views=args.n_eval_views,
+                      H=args.H, W=args.W, world_scale=3.0)
+
+    conf = CONF_TEMPLATE.format(
+        data_dir=data_dir, H=args.H, W=args.W, n_images=args.frames,
+        map_iters=args.iters, track_iters=args.track_iters,
+        rays=args.rays, track_rays=args.track_rays, lr=args.lr,
+        track_lr=args.track_lr, grid_lr_factor=args.grid_lr_factor,
+        ba="true" if args.ba else "false", mef=args.mef,
+        window=args.window, ba_ratio=args.ba_ratio,
+        gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
+        conf_weight="true" if args.conf_weight else "false",
+        conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
+        conf_residual_beta=args.conf_residual_beta,
+        density=args.density, beta_warmup=args.beta_warmup,
+        beta_warmup_iters=max(int(args.iters * 0.8), 1),
+        prepass=args.prepass, cache_res=args.cache_res)
+    conf_path = os.path.join(tmp, "long_seq.conf")
+    with open(conf_path, "w") as f:
+        f.write(conf)
+
+    t0 = time.time()
+    r = SLAMRunner(conf=conf_path, root_dir=tmp, quiet=False)
+    r.run()
+    slam_wall = time.time() - t0
+    print(f"[long_seq] SLAM done in {slam_wall:.0f}s "
+          f"({slam_wall / args.frames:.2f}s/frame)", flush=True)
+
+    results = {"frames": args.frames, "rad_per_frame": args.rad_per_frame,
+               "iters": args.iters, "track_iters": args.track_iters,
+               "rays": args.rays, "track_rays": args.track_rays,
+               "conf_weight": args.conf_weight, "ba": args.ba,
+               "slam_wall_s": round(slam_wall, 1), "rundir": r.rundir}
+
+    # --- eval_cam: trajectory --------------------------------------------
+    cam = evaluate_run(r.rundir, make_plot=True)
+    results["eval_cam"] = {k: float(v) for k, v in cam.items()
+                           if np.isscalar(v) and np.isfinite(v)}
+    print(f"[long_seq] eval_cam: ate_rmse={cam['ate_rmse']:.4f}", flush=True)
+
+    # --- eval_rec: mesh vs the analytic GT surface ------------------------
+    est_ply = save_mesh(r, args.frames - 1, resolution=args.mesh_res)
+    gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
+                           grid_boundary=(-1.0, 1.0))
+    rec = None
+    if est_ply is not None and gt_mesh is not None:
+        gv, gf, gn = gt_mesh
+        gt_ply = os.path.join(tmp, "gt_mesh.ply")
+        write_ply(gt_ply, gv, gf, normals=gn)
+        rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
+        results["eval_rec"] = {k: float(v) for k, v in rec.items()}
+        print(f"[long_seq] eval_rec: {rec}", flush=True)
+    else:
+        print("[long_seq] WARNING: mesh extraction failed", flush=True)
+
+    # --- eval_rendering: interpolate + extrapolate -------------------------
+    interp = evaluate_rendering(r, eval_method="interpolate")
+    results["eval_rendering_interpolate"] = {
+        k: float(v) for k, v in interp.items() if np.isscalar(v)
+        and not isinstance(v, str)}
+    eval_ds = SLAMDataset(data_dir=data_dir + "_eval", img_res=[args.H, args.W],
+                          scan_id=1, n_images=args.n_eval_views)
+    extrap = evaluate_rendering(r, eval_method="extrapolate",
+                                eval_dataset=eval_ds)
+    results["eval_rendering_extrapolate"] = {
+        k: float(v) for k, v in extrap.items() if np.isscalar(v)
+        and not isinstance(v, str)}
+    print(f"[long_seq] rendering: interp psnr={interp['psnr']:.2f} "
+          f"extrap psnr={extrap['psnr']:.2f}", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
