@@ -238,7 +238,8 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
             vals = _checkpoint_name(vals, "hash_gather")
             out = (w[:, :, None] * vals).sum(axis=0)               # [N, C]
         else:
-            vals = emb_flat[rows[None, :, :] + chan_off]           # [C,2^D,N]
+            vals = emb_flat.at[rows[None, :, :] + chan_off].get(
+                mode="promise_in_bounds")                          # [C,2^D,N]
             vals = _checkpoint_name(vals, "hash_gather")
             out = (w[None, :, :] * vals).sum(axis=1).T             # [N, C]
         outs.append(out)
@@ -320,7 +321,7 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
             left_i = jnp.clip(left.astype(jnp.int32), 0, res - 1)
             cell = (left_i[2] * res + left_i[1]) * res + left_i[0]
             blocked = _dense_block_table(spec, embeddings, lvl)  # [res^3,8C]
-            rows = blocked[cell]                                 # [N, 8C]
+            rows = blocked.at[cell].get(mode="promise_in_bounds")  # [N, 8C]
             rows = _checkpoint_name(rows, "hash_gather")
             sel_mat = jnp.asarray(
                 np.tile(np.eye(C, dtype=np.float32), (corners.shape[0], 1)))
@@ -343,7 +344,8 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
             left_i = left.astype(jnp.int32)
             corner_xyz = left_i[None, :, :] + corners[:, :, None]
             rows_idx = _level_indices_t(spec, lvl, corner_xyz)       # [2^D,N]
-            vals = emb_flat[rows_idx[None, :, :] + chan_off]         # [C,2^D,N]
+            vals = emb_flat.at[rows_idx[None, :, :] + chan_off].get(
+                mode="promise_in_bounds")                            # [C,2^D,N]
             vals = _checkpoint_name(vals, "hash_gather")
             outs.append(jnp.einsum("kn,ckn->cn", w, vals).T)         # [N, C]
             dlvl = [jnp.einsum("kn,ckn->cn", dws[d], vals).T
@@ -434,7 +436,8 @@ def _encode_level_dense_blocked(spec: HashGridSpec, embeddings, lvl,
     cell = (left_i[2] * res + left_i[1]) * res + left_i[0]   # z,y,x strides
 
     blocked = _dense_block_table(spec, embeddings, lvl)      # [res^3, 8C]
-    rows = blocked[cell]                                     # [N, 8C]
+    # cell is clipped to [0, res^3) above — skip XLA's per-index clamp
+    rows = blocked.at[cell].get(mode="promise_in_bounds")    # [N, 8C]
     # saved by the remat policy: recomputing this row gather (plus the
     # 8-roll block table) in every backward costs real HBM traffic
     rows = _checkpoint_name(rows, "hash_gather")
@@ -484,7 +487,10 @@ def _row_corner_gather(emb: jnp.ndarray, emb_tc: jnp.ndarray,
     tracers: those leak under jax.checkpoint)."""
     assert emb_tc.shape == (emb.shape[1], emb.shape[0]), (
         f"emb_tc must be emb.T: got emb {emb.shape}, emb_tc {emb_tc.shape}")
-    return emb_tc[rows]                                      # [K, N, C]
+    # rows come from _level_indices*: always `mod size + offset` < T, so the
+    # bounds clamp XLA inserts by default is pure overhead (measured up to
+    # several x on big tables, tools/microbench_gather.py)
+    return emb_tc.at[rows].get(mode="promise_in_bounds")     # [K, N, C]
 
 
 @_row_corner_gather.defjvp
@@ -495,8 +501,11 @@ def _row_corner_gather_jvp(primals, tangents):
     chan_off = (jnp.arange(C, dtype=jnp.int32) * T)[:, None, None]
     # tangent = the equivalent scalar-flat gather (linear in t_emb); its
     # transpose — what reverse-mode actually executes — is the scalar
-    # scatter-add, the fast direction on TPU.
-    t_out = t_emb.reshape(-1)[rows[None, :, :] + chan_off]   # [C, K, N]
+    # scatter-add, the fast direction on TPU. promise_in_bounds holds
+    # (flat id = c*T + row < C*T) and drops the bounds checks from both
+    # the gather and its transposed scatter.
+    t_out = t_emb.reshape(-1).at[rows[None, :, :] + chan_off].get(
+        mode="promise_in_bounds")                            # [C, K, N]
     return _row_corner_gather(emb, emb_tc, rows), t_out.transpose(1, 2, 0)
 
 
@@ -563,11 +572,15 @@ def _gcv_impl(spec: HashGridSpec, embeddings: jnp.ndarray,
     for lvl in range(L):
         if _blocked_lvl(spec, lvl):
             blocked = _dense_block_table(spec, embeddings, lvl)  # [res^3,8C]
-            r = blocked[cells[di]]                              # [N, 8C]
+            # cells are clipped to [0, res^3); rows_all to [0, T) by mod —
+            # promise_in_bounds skips XLA's per-index clamp (measured
+            # several-x on big tables, tools/microbench_gather.py)
+            r = blocked.at[cells[di]].get(mode="promise_in_bounds")  # [N,8C]
             di += 1
             out.append(r.reshape(N, K, C).transpose(1, 0, 2))   # [K, N, C]
         else:
-            out.append(emb_tc[rows_all[lvl]])                   # [K, N, C]
+            out.append(emb_tc.at[rows_all[lvl]].get(
+                mode="promise_in_bounds"))                      # [K, N, C]
     return jnp.stack(out)                                       # [L,K,N,C]
 
 
@@ -602,7 +615,8 @@ def _gcv_bwd(spec, residuals, g):
         r = rows_all[idx].reshape(-1)                    # [n_small*K*N]
         gs = g[idx].reshape(-1, C)
         for c in range(C):
-            flat = flat.at[c * T + r].add(gs[:, c])
+            flat = flat.at[c * T + r].add(gs[:, c],
+                                          mode="promise_in_bounds")
     if big:
         idx = jnp.asarray(big)
         rb = rows_all[idx].reshape(-1)                   # [Mb]
@@ -611,7 +625,8 @@ def _gcv_bwd(spec, residuals, g):
         kb = srt[0]
         for c in range(C):
             flat = flat.at[c * T + kb].add(srt[1 + c],
-                                           indices_are_sorted=True)
+                                           indices_are_sorted=True,
+                                           mode="promise_in_bounds")
     demb = flat.reshape(C, T)
     rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
     cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
@@ -722,7 +737,7 @@ def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
         left_i = left.astype(jnp.int32)
         corner_xyz = left_i[None, :, :] + corners[:, :, None]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D,N]
-        v = packed_tc[rows]                                        # [2^D,N,Ch]
+        v = packed_tc.at[rows].get(mode="promise_in_bounds")       # [2^D,N,Ch]
         hi = jax.lax.bitcast_convert_type(
             (v >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
         lo = jax.lax.bitcast_convert_type(
