@@ -167,8 +167,9 @@ class SLAMRunner:
         # tools/pretrain.py for producing a real pretrain.npz).
         pretrain = c.get_string("train.pretrain_path", "pretrain.npz")
         if not os.path.isabs(pretrain):
+            _pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             for base in (root_dir, os.path.dirname(os.path.abspath(conf)),
-                         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))):
+                         _pkg, os.path.dirname(_pkg)):  # repo root ships it
                 cand = os.path.join(base, pretrain)
                 if os.path.exists(cand):
                     pretrain = cand

@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--stage", default="fine")
     ap.add_argument("--color_stage", default="highfreq")
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--ba", action="store_true",
+                    help="profile the BA variant (pose grads live)")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--parse_only", default=None,
@@ -150,7 +152,7 @@ def main():
             optimizer, poses_q, refs,
             store_rgb, store_depth, store_normal, store_gt, store_mask,
             key, density_cache, stage=a.stage, color_stage=a.color_stage,
-            ba=False, is_first_frame=False, use_flow=True)
+            ba=a.ba, is_first_frame=False, use_flow=True)
 
     key = jax.random.PRNGKey(0)
     print(f"[profile] compiling... t={time.strftime('%H:%M:%S')}",
