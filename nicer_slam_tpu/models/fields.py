@@ -367,16 +367,23 @@ class RenderingNetConfig(NamedTuple):
     embedding_method: str = "nerf"
     use_grid_feature: bool = False
     feature_vector_size: int = 64
+    # color-grid geometry; defaults are the reference's FIXED constants
+    # (base_networks.py:265-284). Overridable so tests/dryruns can exercise
+    # the big-grid (sorted-backward) code path at CPU-sized tables.
+    color_num_levels: int = 16
+    color_logmap: int = 24
+    color_desired_res: int = 2048
 
     @property
     def grid_feature_dim(self) -> int:
-        return 32 if self.use_grid_feature else 0  # 16 levels x 2 dims
+        return (self.color_num_levels * 2) if self.use_grid_feature else 0
 
     def hash_spec(self) -> he.HashGridSpec:
-        # fixed color-grid geometry (base_networks.py:265-284): logmap 24
-        return he.make_spec(input_dim=3, num_levels=16, level_dim=2,
-                            per_level_scale=2.0, base_resolution=16,
-                            log2_hashmap_size=24, desired_resolution=2048)
+        return he.make_spec(input_dim=3, num_levels=self.color_num_levels,
+                            level_dim=2, per_level_scale=2.0,
+                            base_resolution=16,
+                            log2_hashmap_size=self.color_logmap,
+                            desired_resolution=self.color_desired_res)
 
     @property
     def layer_dims(self) -> Tuple[int, ...]:
@@ -407,6 +414,9 @@ def rendering_config_from_conf(conf: Config, feature_vector_size: int,
         embedding_method=embedding_method,
         use_grid_feature=conf.get_bool("use_grid_feature", False),
         feature_vector_size=feature_vector_size,
+        color_num_levels=conf.get_int("color_num_levels", 16),
+        color_logmap=conf.get_int("color_logmap", 24),
+        color_desired_res=conf.get_int("color_desired_res", 2048),
     )
 
 

@@ -30,6 +30,8 @@ import functools
 import math
 from typing import NamedTuple, Tuple
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,17 @@ from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 # primes from hashencoder.cu:43 (dim 0 uses 1 for memory coherence)
 _PRIMES = (1, 2654435761, 805459861)
+
+# Every gather in this module uses indices that are in-bounds BY
+# CONSTRUCTION (mod+offset in _level_indices*, explicit clips in the dense
+# blocked paths), so the default per-index clamp XLA inserts is pure
+# overhead (measured up to several x on big tables,
+# tools/microbench_gather.py) and we promise the bounds away. Debug escape
+# hatch: set NICER_SLAM_CHECKED_GATHERS=1 (env, read at import) to restore
+# clamped indexing at every site, so an index-invariant regression shows up
+# as wrong-but-bounded values instead of memory-dependent corruption.
+GATHER_MODE = ("clip" if os.environ.get("NICER_SLAM_CHECKED_GATHERS")
+               else "promise_in_bounds")
 
 
 class HashGridSpec(NamedTuple):
@@ -239,7 +252,7 @@ def hash_encode(spec: HashGridSpec, embeddings: jnp.ndarray, x: jnp.ndarray,
             out = (w[:, :, None] * vals).sum(axis=0)               # [N, C]
         else:
             vals = emb_flat.at[rows[None, :, :] + chan_off].get(
-                mode="promise_in_bounds")                          # [C,2^D,N]
+                mode=GATHER_MODE)                          # [C,2^D,N]
             vals = _checkpoint_name(vals, "hash_gather")
             out = (w[None, :, :] * vals).sum(axis=1).T             # [N, C]
         outs.append(out)
@@ -321,7 +334,7 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
             left_i = jnp.clip(left.astype(jnp.int32), 0, res - 1)
             cell = (left_i[2] * res + left_i[1]) * res + left_i[0]
             blocked = _dense_block_table(spec, embeddings, lvl)  # [res^3,8C]
-            rows = blocked.at[cell].get(mode="promise_in_bounds")  # [N, 8C]
+            rows = blocked.at[cell].get(mode=GATHER_MODE)  # [N, 8C]
             rows = _checkpoint_name(rows, "hash_gather")
             sel_mat = jnp.asarray(
                 np.tile(np.eye(C, dtype=np.float32), (corners.shape[0], 1)))
@@ -345,7 +358,7 @@ def hash_encode_with_grad(spec: HashGridSpec, embeddings: jnp.ndarray,
             corner_xyz = left_i[None, :, :] + corners[:, :, None]
             rows_idx = _level_indices_t(spec, lvl, corner_xyz)       # [2^D,N]
             vals = emb_flat.at[rows_idx[None, :, :] + chan_off].get(
-                mode="promise_in_bounds")                            # [C,2^D,N]
+                mode=GATHER_MODE)                            # [C,2^D,N]
             vals = _checkpoint_name(vals, "hash_gather")
             outs.append(jnp.einsum("kn,ckn->cn", w, vals).T)         # [N, C]
             dlvl = [jnp.einsum("kn,ckn->cn", dws[d], vals).T
@@ -437,7 +450,7 @@ def _encode_level_dense_blocked(spec: HashGridSpec, embeddings, lvl,
 
     blocked = _dense_block_table(spec, embeddings, lvl)      # [res^3, 8C]
     # cell is clipped to [0, res^3) above — skip XLA's per-index clamp
-    rows = blocked.at[cell].get(mode="promise_in_bounds")    # [N, 8C]
+    rows = blocked.at[cell].get(mode=GATHER_MODE)    # [N, 8C]
     # saved by the remat policy: recomputing this row gather (plus the
     # 8-roll block table) in every backward costs real HBM traffic
     rows = _checkpoint_name(rows, "hash_gather")
@@ -490,7 +503,7 @@ def _row_corner_gather(emb: jnp.ndarray, emb_tc: jnp.ndarray,
     # rows come from _level_indices*: always `mod size + offset` < T, so the
     # bounds clamp XLA inserts by default is pure overhead (measured up to
     # several x on big tables, tools/microbench_gather.py)
-    return emb_tc.at[rows].get(mode="promise_in_bounds")     # [K, N, C]
+    return emb_tc.at[rows].get(mode=GATHER_MODE)     # [K, N, C]
 
 
 @_row_corner_gather.defjvp
@@ -505,7 +518,7 @@ def _row_corner_gather_jvp(primals, tangents):
     # (flat id = c*T + row < C*T) and drops the bounds checks from both
     # the gather and its transposed scatter.
     t_out = t_emb.reshape(-1).at[rows[None, :, :] + chan_off].get(
-        mode="promise_in_bounds")                            # [C, K, N]
+        mode=GATHER_MODE)                            # [C, K, N]
     return _row_corner_gather(emb, emb_tc, rows), t_out.transpose(1, 2, 0)
 
 
@@ -575,12 +588,12 @@ def _gcv_impl(spec: HashGridSpec, embeddings: jnp.ndarray,
             # cells are clipped to [0, res^3); rows_all to [0, T) by mod —
             # promise_in_bounds skips XLA's per-index clamp (measured
             # several-x on big tables, tools/microbench_gather.py)
-            r = blocked.at[cells[di]].get(mode="promise_in_bounds")  # [N,8C]
+            r = blocked.at[cells[di]].get(mode=GATHER_MODE)  # [N,8C]
             di += 1
             out.append(r.reshape(N, K, C).transpose(1, 0, 2))   # [K, N, C]
         else:
             out.append(emb_tc.at[rows_all[lvl]].get(
-                mode="promise_in_bounds"))                      # [K, N, C]
+                mode=GATHER_MODE))                      # [K, N, C]
     return jnp.stack(out)                                       # [L,K,N,C]
 
 
@@ -616,7 +629,7 @@ def _gcv_bwd(spec, residuals, g):
         gs = g[idx].reshape(-1, C)
         for c in range(C):
             flat = flat.at[c * T + r].add(gs[:, c],
-                                          mode="promise_in_bounds")
+                                          mode=GATHER_MODE)
     if big:
         idx = jnp.asarray(big)
         rb = rows_all[idx].reshape(-1)                   # [Mb]
@@ -626,7 +639,7 @@ def _gcv_bwd(spec, residuals, g):
         for c in range(C):
             flat = flat.at[c * T + kb].add(srt[1 + c],
                                            indices_are_sorted=True,
-                                           mode="promise_in_bounds")
+                                           mode=GATHER_MODE)
     demb = flat.reshape(C, T)
     rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
     cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
@@ -737,7 +750,7 @@ def hash_encode_packed(spec: HashGridSpec, packed: jnp.ndarray,
         left_i = left.astype(jnp.int32)
         corner_xyz = left_i[None, :, :] + corners[:, :, None]
         rows = _level_indices_t(spec, lvl, corner_xyz)             # [2^D,N]
-        v = packed_tc.at[rows].get(mode="promise_in_bounds")       # [2^D,N,Ch]
+        v = packed_tc.at[rows].get(mode=GATHER_MODE)       # [2^D,N,Ch]
         hi = jax.lax.bitcast_convert_type(
             (v >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
         lo = jax.lax.bitcast_convert_type(

@@ -26,7 +26,12 @@ SCENES = ["room0", "room1", "room2", "office0", "office1", "office2",
 
 def convert_scene(data_root: str, out_path: str, scan_id: int,
                   with_cues: bool = False, with_flow: bool = False,
+                  intrinsics: tuple = (600.0, 600.0, 599.5, 339.5),
                   **cue_kwargs) -> None:
+    """``intrinsics`` defaults to the reference's fixed Replica camera
+    (fx fy cx cy for 1200x680, reference replica_2_volsdf.py:75-80);
+    overridable so tests can convert small synthesized captures through
+    the identical pipeline."""
     os.makedirs(out_path, exist_ok=True)
     poses = np.loadtxt(os.path.join(data_root, "traj.txt")).reshape(-1, 4, 4)
     scene = os.path.basename(data_root.rstrip("/"))
@@ -46,7 +51,7 @@ def convert_scene(data_root: str, out_path: str, scan_id: int,
               verts_n.astype(np.float32), mesh["faces"],
               normals=mesh.get("normals"), colors=mesh.get("colors"))
 
-    K4 = make_K4(600.0, 600.0, 599.5, 339.5)
+    K4 = make_K4(*intrinsics)
     images_dir = os.path.join(data_root, "results")
     for i in range(poses.shape[0]):
         copy_or_convert_image(os.path.join(images_dir, f"frame{i:06d}.jpg"),

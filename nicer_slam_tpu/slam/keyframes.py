@@ -88,6 +88,14 @@ class KeyframeSelector:
             global_list: List[int] = []
         else:
             hi = max(frame_idx // ke - 4, 0)
+            # DELIBERATE divergence from the reference: volsdf_train.py's
+            # global draw is torch.randint(0, frame//ke - 4, ...), which
+            # RAISES when frame//ke <= 4 (empty range). That regime is
+            # unreachable with the shipped constants (gws=200, ke=10 =>
+            # frame//ke >= 20 here) but reachable with the test-sized gws
+            # this class allows; we clamp to max(hi, 1) and draw keyframe 0
+            # instead of crashing. Covered by
+            # tests/test_slam_e2e.py::test_keyframes_global_draw_small_range.
             global_list = sorted(
                 (self.rng.integers(0, max(hi, 1), ws // 3) * ke).tolist())
 

@@ -81,6 +81,20 @@ class SLAMRunner:
         self.num_cam_iters = c.get_int("SLAM.tracking.iters")
         self.enable_BA = c.get_bool("SLAM.mapping.BA")
         self.BA_ratio = c.get_float("SLAM.mapping.BA_ratio", 0.7)
+        # Drift-loop mechanisms beyond the reference (defaults = reference
+        # behavior). The reference's BA correction capacity per mapping call
+        # is bounded by n_ba_iters x BA_cam_lr (each BA camera step is a
+        # fresh-Adam SIGN step of magnitude ~BA_cam_lr,
+        # volsdf_train.py:524-528,575-578): at its slow per-frame motion
+        # that bound exceeds the per-window drift accrual, at 10x motion it
+        # does not and drift compounds. BA_end_ratio < 1 ends BA before the
+        # final iters so geometry re-fits the corrected poses ("re-map
+        # after BA"); pose_graph_propagate rigidly attaches every
+        # non-BA-corrected frame to its nearest preceding corrected
+        # keyframe and applies that keyframe's world-frame correction.
+        self.BA_end_ratio = c.get_float("SLAM.mapping.BA_end_ratio", 1.0)
+        self.pose_graph_propagate = c.get_bool(
+            "SLAM.mapping.pose_graph_propagate", False)
         # confidence-weighted mapping (drift-loop damping, off = reference
         # behavior): rays from recently-tracked poses — which BA has not yet
         # refined — get loss weight conf_floor, ramping to 1.0 once the pose
@@ -512,6 +526,7 @@ class SLAMRunner:
 
     def _map_impl(self, frame_idx: int, vis_hook=None):
         Smax = self.map_cfg.max_slots
+        ba_snapshot: Dict[int, np.ndarray] = {}  # pose before 1st BA write
         for mapping_iter in range(self.num_mapping_iters):
             # mid-mapping visual observability (volsdf_train.py:531-536):
             # with the default inner_freq=1000 > iters this fires once, at
@@ -523,7 +538,9 @@ class SLAMRunner:
             win = self.kf_selector.window(frame_idx, mapping_iter)
             kfs = win.keyframe_list[:Smax]
             ba = (self.enable_BA and frame_idx > 0
-                  and mapping_iter > int(self.num_mapping_iters * self.BA_ratio))
+                  and mapping_iter > int(self.num_mapping_iters * self.BA_ratio)
+                  and mapping_iter <= int(self.num_mapping_iters
+                                          * self.BA_end_ratio))
 
             if mapping_iter == 0:
                 # the edge graph + flow GT are fixed for the whole call
@@ -578,6 +595,9 @@ class SLAMRunner:
                         self.est_pose_all[kf] = np.asarray(
                             self.dataset.gt_pose_all[kf])
                     elif win.writeback_eligible[s]:
+                        if kf not in ba_snapshot and kf in self.est_pose_all:
+                            ba_snapshot[kf] = np.asarray(
+                                self.est_pose_all[kf]).copy()
                         self.est_pose_all[kf] = camera_from_tensor_np(new_q[s])
 
             if self.verbose and mapping_iter % 20 == 0:
@@ -585,7 +605,39 @@ class SLAMRunner:
                          f"loss {float(terms['loss']):.4f} "
                          f"rgb {float(terms['rgb_loss']):.4f} "
                          f"eik {float(terms['eikonal_loss']):.4f}")
+        if self.pose_graph_propagate and ba_snapshot:
+            self._propagate_ba_corrections(ba_snapshot)
         return terms
+
+    def _propagate_ba_corrections(self, ba_snapshot: Dict[int, np.ndarray]):
+        """Lightweight pose graph: frames BA never touched (non-keyframes
+        between keyframes, and keyframes outside this call's window) are
+        rigidly attached to their nearest preceding BA-corrected keyframe
+        and receive its world-frame correction
+        ``delta = est_new[k] @ inv(est_old[k])``. The reference leaves those
+        poses stale (volsdf_train.py:584-592 only writes window keyframes),
+        which at high per-frame motion is a standing inconsistency between
+        the corrected window and the rest of the trajectory."""
+        corrected = sorted(ba_snapshot.keys())
+        deltas = {}
+        for kf in corrected:
+            new = np.asarray(self.est_pose_all[kf])
+            old = ba_snapshot[kf]
+            deltas[kf] = new @ np.linalg.inv(old)
+        corrected_set = set(corrected)
+        for j in sorted(self.est_pose_all.keys()):
+            if j in corrected_set or j == 0:
+                continue
+            # nearest corrected keyframe at or below j
+            k0 = None
+            for kf in corrected:
+                if kf <= j:
+                    k0 = kf
+                else:
+                    break
+            if k0 is None:
+                continue
+            self.est_pose_all[j] = deltas[k0] @ np.asarray(self.est_pose_all[j])
 
     # ------------------------------------------------------------------
     def run(self, vis_hook=None):

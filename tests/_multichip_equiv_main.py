@@ -39,7 +39,23 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "confs", "replica", "runconf_replica_2.conf"))
     model_conf = conf.get_config("model")
-    model_conf.put("rendering_network.use_grid_feature", False)
+    biggrid = bool(os.environ.get("NICER_EQUIV_BIGGRID"))
+    if biggrid:
+        # Big-grid mode: keep the color hash grid ON but shrunk to CPU
+        # scale, and lower the sorted-backward threshold so the encode
+        # routes through _grid_corner_values — its custom_vjp (ONE sort +
+        # indices_are_sorted scatter-add) is the one gradient path the
+        # standard equivalence run never exercises under GSPMD
+        # (hash_encoder.py sorted-backward block). color_stage="highfreq"
+        # below means the grid is NOT detached, so the vjp runs.
+        from nicer_slam_tpu.ops import hash_encoder as he
+        he.SORTED_BWD_MIN_ENTRIES = 1 << 12
+        model_conf.put("rendering_network.use_grid_feature", True)
+        model_conf.put("rendering_network.color_num_levels", 4)
+        model_conf.put("rendering_network.color_logmap", 13)
+        model_conf.put("rendering_network.color_desired_res", 64)
+    else:
+        model_conf.put("rendering_network.use_grid_feature", False)
     # lighter sampling, same semantics: the virtual 8-device mesh runs its
     # partitions as threads on however few host cores exist; XLA:CPU's
     # collective rendezvous hard-aborts (rendezvous.cc, 40 s) if a partition
@@ -134,7 +150,15 @@ def main():
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(b, a, rtol=0, atol=5e-3 * scale)
 
-    print(f"EQUIVALENCE OK n_devices={n_dev} "
+    if biggrid:
+        # prove the run actually took the sorted-backward route
+        from nicer_slam_tpu.ops import hash_encoder as he
+        spec = scene_cfg.render.hash_spec()
+        assert he.SORTED_BWD and max(
+            spec.offsets[l + 1] - spec.offsets[l]
+            for l in range(spec.num_levels)) >= he.SORTED_BWD_MIN_ENTRIES, \
+            "big-grid mode did not reach the sorted-backward threshold"
+    print(f"EQUIVALENCE OK n_devices={n_dev} biggrid={int(biggrid)} "
           f"loss1={loss1:.6f} lossN={loss8:.6f}")
 
 

@@ -139,3 +139,35 @@ def test_eval_cam_external_gt_traj(mini_run, tmp_path):
     m_sub = evaluate_run(mini_run.rundir, make_plot=False,
                          gt_traj=str(tmp_path / "gt_sub.txt"))
     assert m_sub["n_frames"] == 2
+
+
+REF_GT_TRAJ = "/root/reference/gt_trajs/gt_replica_room0.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GT_TRAJ),
+                    reason="reference gt_trajs data not on this machine")
+def test_read_real_reference_gt_traj():
+    """Interop proof against the ACTUAL shipped reference data file (TUM
+    `t tx ty tz qx qy qz qw`, gt_trajs/gt_replica_room0.txt — the file
+    eval_cam.py:444-459 feeds to evo): parse it, check the poses are valid
+    SE(3), and round-trip through our writer/reader."""
+    from nicer_slam_tpu.evaluation import ate
+
+    c2w, ts = ate.read_tum_trajectory(REF_GT_TRAJ, return_timestamps=True)
+    assert c2w.shape == (2000, 4, 4)
+    np.testing.assert_allclose(ts, np.arange(2000.0))
+    # rotations orthonormal, det +1
+    R = c2w[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (2000, 1, 1)),
+                               atol=1e-4)
+    assert np.all(np.linalg.det(R) > 0.99)
+    # write->read round trip preserves the trajectory
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "rt.txt")
+        ate.write_tum_trajectory(p, c2w, timestamps=ts)
+        back = ate.read_tum_trajectory(p)
+    np.testing.assert_allclose(back[:, :3, 3], c2w[:, :3, 3], atol=1e-5)
+    # quaternion sign ambiguity washes out at the rotation level
+    np.testing.assert_allclose(back[:, :3, :3], c2w[:, :3, :3], atol=1e-3)

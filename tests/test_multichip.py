@@ -116,3 +116,24 @@ def test_keyframe_selector_reference_rules():
     for kf, ok in zip(w3.keyframe_list, w3.writeback_eligible):
         if kf == 0 or kf in head:
             assert not ok
+
+
+def test_multichip_equivalence_biggrid_sorted_backward():
+    """Same 1-vs-N equivalence, but with the color hash grid ON (shrunk to
+    CPU scale) and SORTED_BWD_MIN_ENTRIES lowered so the encode routes
+    through _grid_corner_values — checking the unified sorted-backward
+    custom_vjp (hash_encoder.py) for correctness UNDER GSPMD SHARDING,
+    which the standard run (color grid off) never exercises."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_multichip_equiv_main.py")
+    env = {**os.environ, "NICER_EQUIV_BIGGRID": "1"}
+    res = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=1500, env=env)
+    assert res.returncode == 0, (
+        f"big-grid equivalence subprocess failed (rc={res.returncode}):\n"
+        f"stdout:\n{res.stdout[-2000:]}\nstderr:\n{res.stderr[-4000:]}")
+    assert "EQUIVALENCE OK" in res.stdout and "biggrid=1" in res.stdout

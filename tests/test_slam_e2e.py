@@ -361,3 +361,75 @@ def test_resume_from_checkpoint(runner, tiny_scene, tmp_path_factory):
     np.testing.assert_allclose(
         np.asarray(r2.est_pose_all[4]), np.asarray(runner.est_pose_all[4]),
         atol=1e-5)
+
+
+def test_keyframes_global_draw_small_range():
+    """Documented divergence (keyframes.py): when the global regime starts
+    with frame_idx // ke <= 4 (reachable only with a test-sized
+    global_window_start), the reference's torch.randint(0, frame//ke - 4)
+    would raise on the empty range; we clamp and draw keyframe 0."""
+    from nicer_slam_tpu.slam.keyframes import KeyframeConfig, KeyframeSelector
+
+    # frame == global_window_start with frame//ke - 4 <= 0
+    cfg = KeyframeConfig(mapping_window_size=6, keyframe_every=10,
+                         num_mapping_iters=10, global_window_start=30)
+    sel = KeyframeSelector(cfg, seed=0)
+    win = sel.window(frame_idx=30, mapping_iter=0)   # 30//10 - 4 = -1 -> clamp
+    # global slots (first ws//3 = 2 entries) must all be keyframe 0
+    assert win.keyframe_list[:2] == [0, 0]
+    # current frame still present; keyframe-0 slots never BA-written-back
+    assert 30 in win.keyframe_list
+    assert win.writeback_eligible[0] is False and win.writeback_eligible[1] is False
+
+    # boundary where the range becomes non-empty: frame//ke - 4 == 1
+    sel2 = KeyframeSelector(cfg, seed=0)
+    win2 = sel2.window(frame_idx=50, mapping_iter=0)
+    assert all(k == 0 for k in win2.keyframe_list[:2])  # only id 0 drawable
+
+    # healthy regime sanity: draws stay within [0, frame//ke - 4) * ke
+    cfg3 = KeyframeConfig(mapping_window_size=6, keyframe_every=10,
+                          num_mapping_iters=10, global_window_start=30)
+    sel3 = KeyframeSelector(cfg3, seed=1)
+    win3 = sel3.window(frame_idx=200, mapping_iter=0)
+    assert all(k % 10 == 0 and k <= (200 // 10 - 5) * 10
+               for k in win3.keyframe_list[:2])
+
+
+def test_propagate_ba_corrections_rigid_attachment():
+    """pose_graph_propagate: frames BA never touched get the world-frame
+    correction of their nearest preceding corrected keyframe; frames before
+    the earliest corrected keyframe and frame 0 stay put."""
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+
+    class Stub:
+        _propagate_ba_corrections = SLAMRunner._propagate_ba_corrections
+
+    r = Stub()
+    rng = np.random.default_rng(0)
+
+    def rand_pose(t):
+        p = np.eye(4)
+        p[:3, 3] = t
+        return p
+
+    # est poses 0..9; BA corrected keyframes 4 and 8 by known deltas
+    r.est_pose_all = {j: rand_pose([j, 0, 0]) for j in range(10)}
+    old4 = r.est_pose_all[4].copy()
+    old8 = r.est_pose_all[8].copy()
+    d4 = rand_pose([0.0, 0.5, 0.0])
+    d8 = rand_pose([0.0, 0.0, -0.25])
+    r.est_pose_all[4] = d4 @ old4
+    r.est_pose_all[8] = d8 @ old8
+    before = {j: r.est_pose_all[j].copy() for j in r.est_pose_all}
+
+    r._propagate_ba_corrections({4: old4, 8: old8})
+
+    for j in (0, 1, 2, 3):       # before earliest corrected kf: untouched
+        np.testing.assert_allclose(r.est_pose_all[j], before[j])
+    for j in (5, 6, 7):          # attached to kf 4
+        np.testing.assert_allclose(r.est_pose_all[j], d4 @ before[j],
+                                   atol=1e-12)
+    np.testing.assert_allclose(r.est_pose_all[9], d8 @ before[9], atol=1e-12)
+    # corrected keyframes themselves are left at their BA values
+    np.testing.assert_allclose(r.est_pose_all[4], before[4])
+    np.testing.assert_allclose(r.est_pose_all[8], before[8])

@@ -22,7 +22,9 @@ SLAM {{
         mapping_window_size = {window}
         BA = {ba}
         BA_ratio = {ba_ratio}
-        BA_cam_lr = 0.001
+        BA_end_ratio = {ba_end_ratio}
+        BA_cam_lr = {ba_cam_lr}
+        pose_graph_propagate = {pose_graph}
         keyframe_every = 10
         mapping_every_frame = {mef}
         iters = {map_iters}
@@ -105,8 +107,9 @@ model {{
     rendering_network {{
         mode = "idr"  d_in = 9  d_out = 3  dims = [ 64 64 ]
         weight_norm = true  multires_view = 4
-        per_image_code = false  use_grid_feature = false
+        per_image_code = false  use_grid_feature = {color_grid}
     }}
+    color_topk = {color_topk}
     density {{ params_init {{ beta = 0.1 }}  beta_min = 0.0001
                beta_warmup_scale = {beta_warmup}  beta_warmup_iters = {beta_warmup_iters} }}
     gridpredefinedensity {{}}
@@ -145,13 +148,17 @@ def run_probe(args, data_dir=None):
         track_lr=args.track_lr, grid_lr_factor=args.grid_lr_factor,
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
+        ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
         density=args.density, beta_warmup=args.beta_warmup,
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
-        prepass=args.prepass, cache_res=args.cache_res)
+        prepass=args.prepass, cache_res=args.cache_res,
+        color_grid="true" if args.color_grid else "false",
+        color_topk=args.color_topk)
     conf_path = os.path.join(tmp, "probe.conf")
     with open(conf_path, "w") as f:
         f.write(conf)
@@ -215,6 +222,14 @@ def build_argparser():
     p.add_argument("--window", type=int, default=6,
                    help="mapping_window_size (reference demo: 15)")
     p.add_argument("--ba_ratio", type=float, default=0.7)
+    p.add_argument("--ba_end_ratio", type=float, default=1.0)
+    p.add_argument("--ba_cam_lr", type=float, default=0.001)
+    p.add_argument("--pose_graph", action="store_true",
+                   help="propagate BA keyframe corrections to attached frames")
+    p.add_argument("--color_grid", action="store_true",
+                   help="enable the logmap-24 color hash grid (flagship-like)")
+    p.add_argument("--color_topk", type=int, default=0,
+                   help="top-K color-sample pruning (0 = exact reference path)")
     p.add_argument("--conf_weight", action="store_true",
                    help="confidence-weighted mapping (drift-loop damping)")
     p.add_argument("--conf_floor", type=float, default=0.3)

@@ -80,13 +80,17 @@ def main():
         track_lr=args.track_lr, grid_lr_factor=args.grid_lr_factor,
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
+        ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
         density=args.density, beta_warmup=args.beta_warmup,
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
-        prepass=args.prepass, cache_res=args.cache_res)
+        prepass=args.prepass, cache_res=args.cache_res,
+        color_grid="true" if args.color_grid else "false",
+        color_topk=args.color_topk)
     conf_path = os.path.join(tmp, "long_seq.conf")
     with open(conf_path, "w") as f:
         f.write(conf)

@@ -34,6 +34,12 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=10, warmup=2):
+    """Amortized-THROUGHPUT timing, not per-call latency: all ``iters``
+    dispatches are enqueued asynchronously and synchronized once by the
+    final device->host fetch, so dispatch/queue overlap is averaged in.
+    That matches how these gathers run in the real training step (one
+    stream, back-to-back), but understates standalone latency for the
+    cheap cases (sort_only, small_ref)."""
     for _ in range(warmup):
         out = fn(*args)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
