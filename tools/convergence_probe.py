@@ -235,6 +235,8 @@ def build_argparser():
     p.add_argument("--conf_floor", type=float, default=0.3)
     p.add_argument("--conf_recency_kf", type=float, default=2.0)
     p.add_argument("--conf_residual_beta", type=float, default=0.0)
+    p.add_argument("--data_dir", default=None,
+                   help="reuse a previously generated scan dir")
     p.add_argument("--rad_per_frame", type=float, default=0.03,
                    help="per-frame camera motion; 0.003 = Replica-at-2000-"
                         "frames regime (10x slower than the demo default)")
@@ -242,4 +244,5 @@ def build_argparser():
 
 
 if __name__ == "__main__":
-    run_probe(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    run_probe(_args, data_dir=_args.data_dir)
