@@ -640,7 +640,10 @@ class SLAMRunner:
             self.est_pose_all[j] = deltas[k0] @ np.asarray(self.est_pose_all[j])
 
     # ------------------------------------------------------------------
-    def run(self, vis_hook=None):
+    def run(self, vis_hook=None, frame_hook=None):
+        """Main SLAM loop (volsdf_train.py:363-619). ``frame_hook(runner,
+        frame_idx)`` fires after each frame's track(+map) — used by long-run
+        drivers for interim trajectory metrics without touching the loop."""
         self.log("running...")
         t0 = time.time()
         frame_idx = self.start_frame_idx
@@ -652,6 +655,9 @@ class SLAMRunner:
 
             if frame_idx % self.mapping_every_frame == 0:
                 self.map(frame_idx, vis_hook=vis_hook)
+
+            if frame_hook is not None:
+                frame_hook(self, frame_idx)
 
             if not self.quiet and frame_idx % 10 == 0:
                 dt = time.time() - t0

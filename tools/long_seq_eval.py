@@ -39,6 +39,9 @@ def main():
     p.add_argument("--n_eval_views", type=int, default=8)
     p.add_argument("--data_dir", default=None,
                    help="reuse a previously generated scan dir")
+    p.add_argument("--interim_every", type=int, default=100,
+                   help="compute/record in-memory ATE every N frames so a "
+                        "truncated run still yields a drift curve")
     args = p.parse_args()
 
     import jax
@@ -95,57 +98,105 @@ def main():
     with open(conf_path, "w") as f:
         f.write(conf)
 
-    t0 = time.time()
-    r = SLAMRunner(conf=conf_path, root_dir=tmp, quiet=False)
-    r.run()
-    slam_wall = time.time() - t0
-    print(f"[long_seq] SLAM done in {slam_wall:.0f}s "
-          f"({slam_wall / args.frames:.2f}s/frame)", flush=True)
-
     results = {"frames": args.frames, "rad_per_frame": args.rad_per_frame,
                "iters": args.iters, "track_iters": args.track_iters,
                "rays": args.rays, "track_rays": args.track_rays,
                "conf_weight": args.conf_weight, "ba": args.ba,
-               "slam_wall_s": round(slam_wall, 1), "rundir": r.rundir}
+               "color_topk": args.color_topk, "mef": args.mef,
+               "interim": []}
+
+    from nicer_slam_tpu.evaluation import ate as ate_mod
+
+    t0 = time.time()
+
+    def interim_hook(runner, frame_idx):
+        if frame_idx == 0 or frame_idx % args.interim_every:
+            return
+        keys = sorted(runner.est_pose_all.keys())
+        est = np.stack([runner.est_pose_all[k] for k in keys]).astype(np.float64)
+        gt = np.stack([np.asarray(runner.dataset.gt_pose_all[k])
+                       for k in keys]).astype(np.float64)
+        try:
+            m = ate_mod.evaluate_ate(gt, est, with_scale=True)
+            a34, _ = ate_mod.prealign_cameras(est, gt)
+            m.update(ate_mod.camera_alignment_errors(a34, gt[:, :3, :4]))
+        except Exception as e:  # never let interim metrics kill the run
+            m = {"error": str(e)}
+        rec = {"frame": int(frame_idx),
+               "wall_s": round(time.time() - t0, 1)}
+        rec.update({k: float(v) for k, v in m.items()
+                    if np.isscalar(v) and np.isfinite(v)})
+        results["interim"].append(rec)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[long_seq] interim@{frame_idx}: "
+              f"ate={rec.get('ate_rmse', float('nan')):.4f} "
+              f"({rec['wall_s'] / max(frame_idx, 1):.1f}s/frame)", flush=True)
+
+    r = SLAMRunner(conf=conf_path, root_dir=tmp, quiet=False)
+    r.run(frame_hook=interim_hook)
+    slam_wall = time.time() - t0
+    print(f"[long_seq] SLAM done in {slam_wall:.0f}s "
+          f"({slam_wall / args.frames:.2f}s/frame)", flush=True)
+
+    results["slam_wall_s"] = round(slam_wall, 1)
+    results["rundir"] = r.rundir
+
+    def _dump():
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    _dump()
 
     # --- eval_cam: trajectory --------------------------------------------
-    cam = evaluate_run(r.rundir, make_plot=True)
-    results["eval_cam"] = {k: float(v) for k, v in cam.items()
-                           if np.isscalar(v) and np.isfinite(v)}
-    print(f"[long_seq] eval_cam: ate_rmse={cam['ate_rmse']:.4f}", flush=True)
+    try:
+        cam = evaluate_run(r.rundir, make_plot=True)
+        results["eval_cam"] = {k: float(v) for k, v in cam.items()
+                               if np.isscalar(v) and np.isfinite(v)}
+        print(f"[long_seq] eval_cam: ate_rmse={cam['ate_rmse']:.4f}",
+              flush=True)
+    except Exception as e:
+        results["eval_cam"] = {"error": str(e)}
+    _dump()
 
     # --- eval_rec: mesh vs the analytic GT surface ------------------------
-    est_ply = save_mesh(r, args.frames - 1, resolution=args.mesh_res)
-    gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
-                           grid_boundary=(-1.0, 1.0))
-    rec = None
-    if est_ply is not None and gt_mesh is not None:
-        gv, gf, gn = gt_mesh
-        gt_ply = os.path.join(tmp, "gt_mesh.ply")
-        write_ply(gt_ply, gv, gf, normals=gn)
-        rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
-        results["eval_rec"] = {k: float(v) for k, v in rec.items()}
-        print(f"[long_seq] eval_rec: {rec}", flush=True)
-    else:
-        print("[long_seq] WARNING: mesh extraction failed", flush=True)
+    try:
+        est_ply = save_mesh(r, args.frames - 1, resolution=args.mesh_res)
+        gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
+                               grid_boundary=(-1.0, 1.0))
+        if est_ply is not None and gt_mesh is not None:
+            gv, gf, gn = gt_mesh
+            gt_ply = os.path.join(tmp, "gt_mesh.ply")
+            write_ply(gt_ply, gv, gf, normals=gn)
+            rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
+            results["eval_rec"] = {k: float(v) for k, v in rec.items()}
+            print(f"[long_seq] eval_rec: {rec}", flush=True)
+        else:
+            print("[long_seq] WARNING: mesh extraction failed", flush=True)
+    except Exception as e:
+        results["eval_rec"] = {"error": str(e)}
+    _dump()
 
     # --- eval_rendering: interpolate + extrapolate -------------------------
-    interp = evaluate_rendering(r, eval_method="interpolate")
-    results["eval_rendering_interpolate"] = {
-        k: float(v) for k, v in interp.items() if np.isscalar(v)
-        and not isinstance(v, str)}
-    eval_ds = SLAMDataset(data_dir=data_dir + "_eval", img_res=[args.H, args.W],
-                          scan_id=1, n_images=args.n_eval_views)
-    extrap = evaluate_rendering(r, eval_method="extrapolate",
-                                eval_dataset=eval_ds)
-    results["eval_rendering_extrapolate"] = {
-        k: float(v) for k, v in extrap.items() if np.isscalar(v)
-        and not isinstance(v, str)}
-    print(f"[long_seq] rendering: interp psnr={interp['psnr']:.2f} "
-          f"extrap psnr={extrap['psnr']:.2f}", flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+    try:
+        interp = evaluate_rendering(r, eval_method="interpolate")
+        results["eval_rendering_interpolate"] = {
+            k: float(v) for k, v in interp.items() if np.isscalar(v)
+            and not isinstance(v, str)}
+        _dump()
+        eval_ds = SLAMDataset(data_dir=data_dir + "_eval",
+                              img_res=[args.H, args.W],
+                              scan_id=1, n_images=args.n_eval_views)
+        extrap = evaluate_rendering(r, eval_method="extrapolate",
+                                    eval_dataset=eval_ds)
+        results["eval_rendering_extrapolate"] = {
+            k: float(v) for k, v in extrap.items() if np.isscalar(v)
+            and not isinstance(v, str)}
+        print(f"[long_seq] rendering: interp psnr={interp['psnr']:.2f} "
+              f"extrap psnr={extrap['psnr']:.2f}", flush=True)
+    except Exception as e:
+        results["eval_rendering_error"] = str(e)
+    _dump()
     print(json.dumps(results, indent=2), flush=True)
 
 
