@@ -37,8 +37,7 @@ def main():
     p.add_argument("--out", default="/tmp/long_seq_eval.json")
     p.add_argument("--mesh_res", type=int, default=256)
     p.add_argument("--n_eval_views", type=int, default=8)
-    p.add_argument("--data_dir", default=None,
-                   help="reuse a previously generated scan dir")
+    # NOTE: --data_dir comes from build_argparser (convergence_probe)
     p.add_argument("--interim_every", type=int, default=100,
                    help="compute/record in-memory ATE every N frames so a "
                         "truncated run still yields a drift curve")
