@@ -171,3 +171,36 @@ def test_read_real_reference_gt_traj():
     np.testing.assert_allclose(back[:, :3, 3], c2w[:, :3, 3], atol=1e-5)
     # quaternion sign ambiguity washes out at the rotation level
     np.testing.assert_allclose(back[:, :3, :3], c2w[:, :3, :3], atol=1e-3)
+
+
+def test_export_gt_trajs_script(mini_run, tmp_path):
+    """scripts/export_gt_trajs.py regenerates a reference-format gt_trajs
+    file (gt_trajs/gt_<ds>_<scene>.txt) from a processed scan dir; the
+    export must parse back, carry one pose per frame with frame-index
+    timestamps, and (world mode) undo the cube normalization so the
+    rotations are orthonormal in the original world frame."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "export_gt_trajs",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "export_gt_trajs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from nicer_slam_tpu.evaluation import ate
+
+    data_dir = mini_run.dataset.data_dir
+    out = str(tmp_path / "gt_export.txt")
+    mod.main(["--data_dir", data_dir, "--scan_id", "1", "--out", out])
+    c2w, ts = ate.read_tum_trajectory(out, return_timestamps=True)
+    assert c2w.shape == (3, 4, 4)
+    np.testing.assert_allclose(ts, np.arange(3.0))
+    R = c2w[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (3, 1, 1)), atol=1e-4)
+    # world frame = scale_mat @ cube pose (descaled): translation column of
+    # frame 0 must match scale_mat applied to the dataset's cube-frame pose
+    S = np.asarray(mini_run.dataset.get_scale_mat(), np.float64)
+    want = (S @ np.asarray(mini_run.dataset.gt_pose_all[0], np.float64))
+    np.testing.assert_allclose(c2w[0, :3, 3], want[:3, 3], atol=1e-5)

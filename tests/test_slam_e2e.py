@@ -125,7 +125,9 @@ def runner(tiny_scene, tmp_path_factory):
     from nicer_slam_tpu.slam.runner import SLAMRunner
 
     r = SLAMRunner(conf=conf_path, root_dir=str(work), quiet=True)
-    r.run()
+    hook_frames = []
+    r.run(frame_hook=lambda rr, f: hook_frames.append(f))
+    r._test_hook_frames = hook_frames
     return r
 
 
@@ -153,6 +155,9 @@ def test_dataset_loads_synthetic(tiny_scene):
 
 def test_runner_completes_and_checkpoints(runner):
     assert len(runner.est_pose_all) == 9
+    # run(frame_hook=...) fires once per frame, in order (long-run drivers
+    # rely on it for interim trajectory metrics)
+    assert runner._test_hook_frames == list(range(9))
     ck = runner.checkpoints_path
     for sub in ("ModelParameters", "OptimizerParameters", "PoseParameters"):
         assert os.path.exists(os.path.join(ck, sub, "latest.npz")), sub
