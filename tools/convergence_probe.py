@@ -43,7 +43,7 @@ train {{
     lr_factor_for_fine_grid = {grid_lr_factor}
     lr_factor_for_color_grid = 5.0
     tracking_num_pixels = {track_rays}
-    checkpoint_freq = 10000
+    checkpoint_freq = {checkpoint_freq}
     plot_freq = 10000
     learning_rate = {lr}
     mapping_num_pixels = {rays}
@@ -158,7 +158,8 @@ def run_probe(args, data_dir=None):
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
         prepass=args.prepass, cache_res=args.cache_res,
         color_grid="true" if args.color_grid else "false",
-        color_topk=args.color_topk)
+        color_topk=args.color_topk,
+        checkpoint_freq=args.checkpoint_freq)
     conf_path = os.path.join(tmp, "probe.conf")
     with open(conf_path, "w") as f:
         f.write(conf)
@@ -237,6 +238,9 @@ def build_argparser():
     p.add_argument("--conf_residual_beta", type=float, default=0.0)
     p.add_argument("--data_dir", default=None,
                    help="reuse a previously generated scan dir")
+    p.add_argument("--checkpoint_freq", type=int, default=10000,
+                   help="save Model/Optimizer/Pose checkpoints every N "
+                        "frames (long runs: 50-100 so truncation-safe)")
     p.add_argument("--rad_per_frame", type=float, default=0.03,
                    help="per-frame camera motion; 0.003 = Replica-at-2000-"
                         "frames regime (10x slower than the demo default)")

@@ -92,7 +92,8 @@ def main():
         beta_warmup_iters=max(int(args.iters * 0.8), 1),
         prepass=args.prepass, cache_res=args.cache_res,
         color_grid="true" if args.color_grid else "false",
-        color_topk=args.color_topk)
+        color_topk=args.color_topk,
+        checkpoint_freq=args.checkpoint_freq)
     conf_path = os.path.join(tmp, "long_seq.conf")
     with open(conf_path, "w") as f:
         f.write(conf)
