@@ -238,12 +238,22 @@ class SLAMRunner:
         self.opt_state = self.optimizer.init(self.params)
 
         # ---- step configs
+        # lr_step_size/lr_gamma default to the reference's StepLR(50, 0.95)
+        # (volsdf_train.py:398). That schedule decays Adam's step to only
+        # 0.95^1 of cam_lr by iter 60 — and Adam moves ~lr per iter per dim
+        # regardless of gradient magnitude, so cam_lr is the per-frame pose
+        # noise floor. At slow (Replica-matched) motion the floor dwarfs the
+        # true inter-frame motion; a geometric anneal (e.g. step 8, gamma
+        # 0.5) keeps the first iters' capture range but converges the floor
+        # (see tools/track_noise_floor.py + TRACK_NOISE_r04.json).
         self.track_cfg = TrackConfig(
             num_iters=self.num_cam_iters,
             num_pixels=c.get_int("train.tracking_num_pixels", 1024),
             cam_lr=c.get_float("SLAM.tracking.lr"),
             Hedge=c.get_int("SLAM.tracking.Hedge", 0),
             Wedge=c.get_int("SLAM.tracking.Wedge", 0),
+            lr_step_size=c.get_int("SLAM.tracking.lr_step_size", 50),
+            lr_gamma=c.get_float("SLAM.tracking.lr_gamma", 0.95),
         )
         gws = c.get_int("SLAM.mapping.global_window_start", 200)
         # local-list worst case: frame<gws gives gws//ke+1 entries; frame>=gws

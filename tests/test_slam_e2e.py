@@ -21,7 +21,8 @@ SLAM {{
         mapping_every_frame = 4
         iters = {map_iters}
     }}
-    tracking {{ gt_cam = false  lr = 0.01  iters = {track_iters}  Hedge = 0  Wedge = 0 }}
+    tracking {{ gt_cam = false  lr = 0.01  iters = {track_iters}  Hedge = 0  Wedge = 0
+                lr_step_size = 4  lr_gamma = 0.5 }}
 }}
 train {{
     expname = "tiny"
@@ -162,6 +163,14 @@ def test_runner_completes_and_checkpoints(runner):
     for sub in ("ModelParameters", "OptimizerParameters", "PoseParameters"):
         assert os.path.exists(os.path.join(ck, sub, "latest.npz")), sub
     assert os.path.exists(os.path.join(runner.rundir, "runconf.conf"))
+
+
+def test_tracking_lr_schedule_from_conf(runner):
+    # SLAM.tracking.lr_step_size / lr_gamma flow into TrackConfig (defaults
+    # are the reference's StepLR(50, 0.95), volsdf_train.py:398; the anneal
+    # is the round-4 slow-motion jitter-floor fix, TRACK_NOISE_r04.json)
+    assert runner.track_cfg.lr_step_size == 4
+    assert runner.track_cfg.lr_gamma == 0.5
 
 
 def test_tracking_stays_near_gt(runner):

@@ -33,7 +33,8 @@ SLAM {{
         conf_recency_kf = {conf_recency_kf}
         conf_residual_beta = {conf_residual_beta}
     }}
-    tracking {{ gt_cam = {gt_cam}  lr = {track_lr}  iters = {track_iters}  Hedge = 0  Wedge = 0 }}
+    tracking {{ gt_cam = {gt_cam}  lr = {track_lr}  iters = {track_iters}  Hedge = 0  Wedge = 0
+                lr_step_size = {track_lr_step}  lr_gamma = {track_lr_gamma} }}
 }}
 train {{
     expname = "probe"
@@ -151,6 +152,7 @@ def run_probe(args, data_dir=None):
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
+        track_lr_step=args.track_lr_step, track_lr_gamma=args.track_lr_gamma,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
@@ -209,6 +211,12 @@ def build_argparser():
     p.add_argument("--track_rays", type=int, default=1024)
     p.add_argument("--lr", type=float, default=0.002)
     p.add_argument("--track_lr", type=float, default=0.01)
+    p.add_argument("--track_lr_step", type=int, default=50,
+                   help="tracking StepLR step_size (reference: 50)")
+    p.add_argument("--track_lr_gamma", type=float, default=0.95,
+                   help="tracking StepLR gamma (reference: 0.95); e.g. "
+                        "step 8 gamma 0.5 anneals the Adam jitter floor "
+                        "for slow-motion sequences")
     p.add_argument("--grid_lr_factor", type=float, default=20.0)
     p.add_argument("--ba", action="store_true")
     p.add_argument("--mef", type=int, default=4)
