@@ -84,7 +84,14 @@ def prealign_cameras(est_c2w: np.ndarray, gt_c2w: np.ndarray):
 def camera_alignment_errors(aligned_est: np.ndarray,
                             gt_c2w: np.ndarray) -> Dict[str, float]:
     """Mean rotation (deg) / translation errors between pose sets
-    (eval_cam.py:351-358)."""
+    (eval_cam.py:351-358).
+
+    Caveat (matches the reference metric): the sim3 prealignment fits
+    camera CENTERS only, so on short or low-spread trajectory arcs the
+    world rotation is ill-conditioned and rot_error_deg can be tens of
+    degrees even when raw frame-to-frame orientations are within a few
+    degrees of GT — compare against the unaligned relative rotations
+    before reading a large value as orientation drift."""
     R_a = np.asarray(aligned_est)[:, :3, :3]
     R_g = np.asarray(gt_c2w)[:, :3, :3]
     t_a = np.asarray(aligned_est)[:, :3, 3]
