@@ -54,6 +54,9 @@ def evaluate_run(run_dir: str, make_plot: bool = True,
     errors = ate.camera_alignment_errors(aligned34, gt[:, :3, :4])
     metrics = ate.evaluate_ate(gt, est, with_scale=True)
     metrics.update(errors)
+    # raw alignment-free orientation drift — the sim3 rot_error_deg above
+    # is ill-conditioned on short arcs (see ate.rotation_drift docstring)
+    metrics.update(ate.rotation_drift(gt, est))
     metrics["n_frames"] = len(keys)
 
     out_dir = os.path.join(run_dir, "eval_cam")

@@ -41,6 +41,11 @@ def main():
     p.add_argument("--interim_every", type=int, default=100,
                    help="compute/record in-memory ATE every N frames so a "
                         "truncated run still yields a drift curve")
+    p.add_argument("--resume_root", default=None,
+                   help="existing run root (contains long_seq.conf, "
+                        "Synthetic/, exps/) — resume its latest checkpoint "
+                        "instead of starting fresh; all model/schedule flags "
+                        "are then taken from its conf, not the CLI")
     args = p.parse_args()
 
     import jax
@@ -62,7 +67,11 @@ def main():
     from nicer_slam_tpu.utils.plots import save_mesh
     from nicer_slam_tpu.utils.ply import write_ply
 
-    tmp = tempfile.mkdtemp(prefix="long_seq_")
+    if args.resume_root:
+        tmp = args.resume_root
+        args.data_dir = os.path.join(tmp, "Synthetic")
+    else:
+        tmp = tempfile.mkdtemp(prefix="long_seq_")
     if args.data_dir:
         data_dir = args.data_dir
     else:
@@ -96,8 +105,9 @@ def main():
         color_topk=args.color_topk,
         checkpoint_freq=args.checkpoint_freq)
     conf_path = os.path.join(tmp, "long_seq.conf")
-    with open(conf_path, "w") as f:
-        f.write(conf)
+    if not args.resume_root:
+        with open(conf_path, "w") as f:
+            f.write(conf)
 
     results = {"frames": args.frames, "rad_per_frame": args.rad_per_frame,
                "iters": args.iters, "track_iters": args.track_iters,
@@ -110,6 +120,18 @@ def main():
 
     t0 = time.time()
 
+    def _dump():
+        # atomic: a kill mid-write must not truncate the sole results JSON
+        tmp_out = args.out + ".tmp"
+        with open(tmp_out, "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp_out, args.out)
+
+    # pose snapshots survive host recycling (checkpoints live on the run
+    # host's /tmp and are GBs; the trajectory npz is KBs and enough for
+    # every post-mortem in BASELINE.md)
+    snap_path = os.path.splitext(args.out)[0] + "_poses.npz"
+
     def interim_hook(runner, frame_idx):
         if frame_idx == 0 or frame_idx % args.interim_every:
             return
@@ -121,6 +143,7 @@ def main():
             m = ate_mod.evaluate_ate(gt, est, with_scale=True)
             a34, _ = ate_mod.prealign_cameras(est, gt)
             m.update(ate_mod.camera_alignment_errors(a34, gt[:, :3, :4]))
+            m.update(ate_mod.rotation_drift(gt, est))
         except Exception as e:  # never let interim metrics kill the run
             m = {"error": str(e)}
         rec = {"frame": int(frame_idx),
@@ -128,13 +151,22 @@ def main():
         rec.update({k: float(v) for k, v in m.items()
                     if np.isscalar(v) and np.isfinite(v)})
         results["interim"].append(rec)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+        _dump()
+        try:
+            np.savez(snap_path + ".tmp.npz", keys=np.asarray(keys),
+                     est=est.astype(np.float32), gt=gt.astype(np.float32))
+            os.replace(snap_path + ".tmp.npz", snap_path)
+        except Exception:
+            pass
         print(f"[long_seq] interim@{frame_idx}: "
               f"ate={rec.get('ate_rmse', float('nan')):.4f} "
+              f"rot_drift={rec.get('rot_drift_deg', float('nan')):.1f}deg "
               f"({rec['wall_s'] / max(frame_idx, 1):.1f}s/frame)", flush=True)
 
-    r = SLAMRunner(conf=conf_path, root_dir=tmp, quiet=False)
+    r = SLAMRunner(conf=conf_path, root_dir=tmp, quiet=False,
+                   is_continue=bool(args.resume_root))
+    if args.resume_root:
+        results["resumed_from_frame"] = int(r.start_frame_idx)
     r.run(frame_hook=interim_hook)
     slam_wall = time.time() - t0
     print(f"[long_seq] SLAM done in {slam_wall:.0f}s "
@@ -142,10 +174,6 @@ def main():
 
     results["slam_wall_s"] = round(slam_wall, 1)
     results["rundir"] = r.rundir
-
-    def _dump():
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
 
     _dump()
 
