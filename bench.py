@@ -105,6 +105,30 @@ def main():
               file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------------
+    # host metadata (stderr): round-4 showed bench latencies vary 2x with
+    # the host/tunnel drawn for the run — record enough to normalize.
+    # ------------------------------------------------------------------
+    host_meta = {"metric": "bench_host_meta",
+                 "devices": str(jax.devices()),
+                 "platform": jax.devices()[0].platform,
+                 "cpus": os.cpu_count()}
+    probe = jnp.zeros((8, 128), jnp.float32)
+    put_ts, fetch_ts = [], []
+    add1 = jax.jit(lambda x: x + 1)
+    y = add1(probe)
+    jax.block_until_ready(y)
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(np.zeros((8, 128), np.float32)))
+        put_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(add1(probe))  # sync dispatch + fetch round trip
+        fetch_ts.append(time.perf_counter() - t0)
+    host_meta["device_put_ms"] = round(float(np.median(put_ts)) * 1e3, 2)
+    host_meta["sync_fetch_ms"] = round(float(np.median(fetch_ts)) * 1e3, 2)
+    compile_s = {}
+
+    # ------------------------------------------------------------------
     # HEADLINE: all-in demo-mix (the blend the 6200 rays/s baseline means)
     # ------------------------------------------------------------------
     R_mix = 4096
@@ -135,9 +159,11 @@ def main():
     stage_ms = {}
     for stage, cstage, ba in variants:
         log(f"compiling map_step {stage}/{cstage}{'/BA' if ba else ''}...")
+        tc0 = time.perf_counter()
         params, opt_state, voxels, poses_q, t_mix = mix_step(
             params, opt_state, voxels, poses_q, key, stage, cstage, ba)
         float(t_mix["loss"])
+        compile_s[f"{stage}/{cstage}"] = round(time.perf_counter() - tc0, 1)
         # per-stage steady-state timing (secondary diagnostic)
         t0 = time.perf_counter()
         for i in range(4):
@@ -147,10 +173,15 @@ def main():
         float(t_mix["loss"])
         stage_ms[f"{stage}/{cstage}"] = (time.perf_counter() - t0) / 4 * 1000
     log("compiling track_frame...")
+    tc0 = time.perf_counter()
     bq, _, aux = track_frame(scene_cfg, tcfg, LossConfig(), params,
                              voxels, store_rgb[0], jnp.asarray(K), q0,
                              jax.random.PRNGKey(3), density_cache)
     float(aux["best_loss"])
+    compile_s["track"] = round(time.perf_counter() - tc0, 1)
+    host_meta["compile_s"] = compile_s
+    host_meta["color_topk_env"] = os.environ.get("NICER_COLOR_TOPK", "")
+    print(json.dumps(host_meta), file=sys.stderr, flush=True)
     log("demo-mix compiled")
 
     n_slices = int(os.environ.get("BENCH_SLICES", "3"))

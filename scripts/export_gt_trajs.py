@@ -63,8 +63,16 @@ def main(argv=None):
         # is scale_mat @ c2w_cube (scale_mat maps cube→world).
         S = np.asarray(ds.get_scale_mat(), dtype=np.float64)
         poses = np.einsum("ij,njk->nik", S, poses)
-        # renormalize rotation (scale_mat's isotropic scale lands in R)
+        # renormalize rotation (scale_mat's isotropic scale lands in R).
+        # Dividing by S[0,0] is only a rotation if the scale really is
+        # isotropic-diagonal — assert it, otherwise the quaternions below
+        # would silently come from a non-orthonormal matrix.
         s = float(S[0, 0])
+        if not np.allclose(S[:3, :3], s * np.eye(3), atol=1e-6 * abs(s)):
+            raise ValueError(
+                f"scale_mat is not isotropic-diagonal (S[:3,:3]=\n{S[:3, :3]});"
+                " world-frame export would produce non-orthonormal rotations —"
+                " orthonormalize explicitly or export with --cube")
         poses[:, :3, :3] /= s
 
     write_tum_trajectory(args.out, poses, timestamps=np.arange(n, dtype=float))

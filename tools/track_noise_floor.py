@@ -36,11 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--conf", default="/tmp/long_seq__6hmihmo/long_seq.conf")
-    p.add_argument("--root", default="/tmp/long_seq__6hmihmo")
+    p.add_argument("--conf", required=True,
+                   help="conf of the trained run to post-mortem")
+    p.add_argument("--root", required=True,
+                   help="run root containing exps/ (resumed is_continue)")
     p.add_argument("--frame", type=int, default=300)
     p.add_argument("--seeds", type=int, default=5)
-    p.add_argument("--out", default="/root/repo/TRACK_NOISE_r04.json")
+    p.add_argument("--out", default="/tmp/track_noise.json")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
