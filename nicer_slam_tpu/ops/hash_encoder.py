@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+from jax.sharding import PartitionSpec as P
 
 # primes from hashencoder.cu:43 (dim 0 uses 1 for memory coherence)
 _PRIMES = (1, 2654435761, 805459861)
@@ -609,8 +610,14 @@ def _gcv_fwd(spec, embeddings, rows_all, cells):
             (rows_all, cells.shape))
 
 
-def _gcv_bwd(spec, residuals, g):
-    rows_all, cells_shape = residuals
+def _scatter_corner_cotangents(spec, rows_all: jnp.ndarray,
+                               g: jnp.ndarray) -> jnp.ndarray:
+    """Sorted scatter-add of corner cotangents -> flat [C*T] table grad.
+
+    [C*T] CHANNEL-major flat accumulation (element id = c*T + row, still
+    sorted per channel) so the final reshape is the param's own [C, T]
+    shape — a [T, C] reshape at T=133M gets the (8,128)-tiled layout and
+    allocates 64x (68 GB, the round-3 bench OOM)."""
     L, K, N = rows_all.shape
     C = g.shape[-1]
     T = spec.total_entries
@@ -618,10 +625,6 @@ def _gcv_bwd(spec, residuals, g):
     big = tuple(l for l in range(L) if sizes[l] >= SORTED_BWD_MIN_ENTRIES)
     small = tuple(l for l in range(L) if sizes[l] < SORTED_BWD_MIN_ENTRIES)
 
-    # [C*T] CHANNEL-major flat accumulation (element id = c*T + row, still
-    # sorted per channel) so the final reshape is the param's own [C, T]
-    # shape — a [T, C] reshape at T=133M gets the (8,128)-tiled layout and
-    # allocates 64x (68 GB, the round-3 bench OOM).
     flat = jnp.zeros((C * T,), g.dtype)
     if small:
         idx = jnp.asarray(small)
@@ -640,6 +643,32 @@ def _gcv_bwd(spec, residuals, g):
             flat = flat.at[c * T + kb].add(srt[1 + c],
                                            indices_are_sorted=True,
                                            mode=GATHER_MODE)
+    return flat
+
+
+def _gcv_bwd(spec, residuals, g):
+    rows_all, cells_shape = residuals
+    C = g.shape[-1]
+    T = spec.total_entries
+    if _collective_mode_applies(spec, "psum_bf16", rows_all.shape[-1]):
+        # bf16 gradient psum (multi-chip, table replicated): scatter each
+        # device's LOCAL ray cotangents into a local f32 partial table,
+        # all-reduce the partials in bf16 — halves the dominant ICI volume
+        # (the color grid is ~96% of the 1106 MB/step gradient all-reduce,
+        # BASELINE.md r4 projection). Same rounding regime as an NCCL fp16
+        # all-reduce; the fine/coarse SDF grids and MLPs stay f32.
+        mesh, ax = GRID_SHARD_MESH, GRID_SHARD_AXIS
+
+        def local(rows, gl):
+            part = _scatter_corner_cotangents(spec, rows, gl)
+            return jax.lax.psum(part.astype(jnp.bfloat16), ax).astype(g.dtype)
+
+        flat = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None, ax), P(None, None, ax, None)),
+            out_specs=P())(rows_all, g)
+    else:
+        flat = _scatter_corner_cotangents(spec, rows_all, g)
     demb = flat.reshape(C, T)
     rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
     cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
@@ -647,6 +676,109 @@ def _gcv_bwd(spec, residuals, g):
 
 
 _grid_corner_values.defvjp(_gcv_fwd, _gcv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip collective modes for the big (color) grid.
+#
+# Replicated-table GSPMD all-reduces the [C, T] color-grid gradient in f32
+# every step — 96% of the measured 1106 MB/step gradient volume (BASELINE.md
+# r4 multichip projection). Two opt-in modes cut that, both expressed as
+# shard_map islands inside the GSPMD graph so the rest of map_step is
+# untouched:
+#
+#   "psum_bf16"  table stays replicated; the backward scatter-adds run
+#                per-device on local rays and the partial tables all-reduce
+#                in bf16 (2x less ICI volume). See _gcv_bwd above.
+#   "sharded"    the [C, T] table is SHARDED on rows across the mesh
+#                (NamedSharding P(None, "rays") — same axis the rays use).
+#                Forward: bf16 row all-gather of the table shards, then the
+#                unchanged _gcv_impl fast paths. Backward: per-device local
+#                sorted scatter of its rays' cotangents, then a bf16
+#                reduce-scatter (psum_scatter) back to shards. Per-step ICI
+#                per chip = (N-1)/N * C*T*2 bytes each way = HALF the f32
+#                all-reduce — and Adam moments for the table shard too
+#                (optax updates are elementwise, GSPMD keeps them sharded),
+#                an HBM saving of ~2 GB * (N-1)/N on the flagship grid.
+#
+# Enable by setting GRID_SHARD_MESH to the device mesh (axis GRID_SHARD_AXIS
+# must exist) and GRID_COLLECTIVE_MODE; only grids with total_entries >=
+# GRID_SHARD_MIN_ENTRIES join (the SDF grids need second-order autodiff and
+# stay on the replicated custom_jvp path). Falls back to the replicated path
+# whenever the point count or table rows don't divide the mesh.
+# ---------------------------------------------------------------------------
+
+GRID_SHARD_MESH = None               # jax.sharding.Mesh (None = single-chip)
+GRID_SHARD_AXIS = "rays"
+GRID_COLLECTIVE_MODE = "replicated"  # "replicated" | "psum_bf16" | "sharded"
+GRID_SHARD_MIN_ENTRIES = 1 << 22
+
+
+def _collective_mode_applies(spec, mode: str, n_points: int) -> bool:
+    mesh = GRID_SHARD_MESH
+    if (mesh is None or GRID_COLLECTIVE_MODE != mode or mesh.size <= 1
+            or GRID_SHARD_AXIS not in mesh.axis_names):
+        return False
+    if spec.total_entries < GRID_SHARD_MIN_ENTRIES:
+        return False
+    if n_points % mesh.size:
+        return False
+    if mode == "sharded" and spec.total_entries % mesh.size:
+        return False
+    return True
+
+
+def _gcv_sharded_impl(spec, embeddings, rows_all, cells):
+    mesh, ax = GRID_SHARD_MESH, GRID_SHARD_AXIS
+    f32 = embeddings.dtype
+
+    def local(tbl_shard, rows, cl):
+        # bf16 row all-gather: the forward already runs in the reference's
+        # half-precision regime (hashgrid.py:15 casts to half), so gathering
+        # bf16 table rows matches it while halving the weight traffic.
+        full = jax.lax.all_gather(tbl_shard.astype(jnp.bfloat16), ax,
+                                  axis=1, tiled=True).astype(f32)
+        return _gcv_impl(spec, full, rows, cl)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, ax)),
+        out_specs=P(None, None, ax, None))(embeddings, rows_all, cells)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grid_corner_values_sharded(spec, embeddings, rows_all, cells):
+    return _gcv_sharded_impl(spec, embeddings, rows_all, cells)
+
+
+def _gcv_sharded_fwd(spec, embeddings, rows_all, cells):
+    return (_gcv_sharded_impl(spec, embeddings, rows_all, cells),
+            (rows_all, cells.shape))
+
+
+def _gcv_sharded_bwd(spec, residuals, g):
+    rows_all, cells_shape = residuals
+    mesh, ax = GRID_SHARD_MESH, GRID_SHARD_AXIS
+    C = g.shape[-1]
+    T = spec.total_entries
+
+    def local(rows, gl):
+        part = _scatter_corner_cotangents(spec, rows, gl).reshape(C, T)
+        # bf16 reduce-scatter straight back to this device's table shard
+        shard = jax.lax.psum_scatter(part.astype(jnp.bfloat16), ax,
+                                     scatter_dimension=1, tiled=True)
+        return shard.astype(g.dtype)
+
+    demb = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, ax), P(None, None, ax, None)),
+        out_specs=P(None, ax))(rows_all, g)
+    rows_ct = np.zeros(rows_all.shape, dtype=jax.dtypes.float0)
+    cells_ct = np.zeros(cells_shape, dtype=jax.dtypes.float0)
+    return demb, rows_ct, cells_ct
+
+
+_grid_corner_values_sharded.defvjp(_gcv_sharded_fwd, _gcv_sharded_bwd)
 
 
 def _hash_encode_unified(spec: HashGridSpec, embeddings: jnp.ndarray,
@@ -689,7 +821,10 @@ def _hash_encode_unified(spec: HashGridSpec, embeddings: jnp.ndarray,
     rows_all = jnp.stack(rows_list)                     # [L, 2^D, N]
     cells = (jnp.stack(cells_list) if cells_list
              else jnp.zeros((0, N), jnp.int32))
-    vals = _grid_corner_values(spec, embeddings, rows_all, cells)
+    if _collective_mode_applies(spec, "sharded", N):
+        vals = _grid_corner_values_sharded(spec, embeddings, rows_all, cells)
+    else:
+        vals = _grid_corner_values(spec, embeddings, rows_all, cells)
     vals = _checkpoint_name(vals, "hash_gather")        # [L, 2^D, N, C]
 
     outs = [(w_list[l][:, :, None] * vals[l]).sum(axis=0)

@@ -137,3 +137,23 @@ def test_multichip_equivalence_biggrid_sorted_backward():
         f"big-grid equivalence subprocess failed (rc={res.returncode}):\n"
         f"stdout:\n{res.stdout[-2000:]}\nstderr:\n{res.stderr[-4000:]}")
     assert "EQUIVALENCE OK" in res.stdout and "biggrid=1" in res.stdout
+
+
+def test_grid_collective_modes_equivalence():
+    """bf16-psum and sharded-table collective modes for the big (color)
+    grid (hash_encoder.GRID_COLLECTIVE_MODE) must match the replicated
+    gradient to bf16 tolerance, and the compiled HLO must actually carry
+    the collectives (all-reduce / all-gather / reduce-scatter). Subprocess
+    isolation for the same XLA:CPU rendezvous reasons as above."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_grid_collectives_main.py")
+    res = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=1500)
+    assert res.returncode == 0, (
+        f"grid collectives subprocess failed (rc={res.returncode}):\n"
+        f"stdout:\n{res.stdout[-2000:]}\nstderr:\n{res.stderr[-4000:]}")
+    assert "GRID COLLECTIVES OK" in res.stdout
