@@ -177,37 +177,53 @@ def main():
 
     _dump()
 
+    def _attempt(name, fn, retries=2, backoff_s=90.0):
+        """Run an eval phase with retries: a transient tunnel failure
+        (e.g. the r4 round-boundary 'Broken pipe' on remote_compile) must
+        not silently cost the round its evidence. The last error string is
+        recorded only after every retry failed."""
+        for i in range(retries + 1):
+            try:
+                fn()
+                return
+            except Exception as e:
+                print(f"[long_seq] {name} attempt {i + 1} failed: {e}",
+                      flush=True)
+                results[name] = {"error": str(e), "attempts": i + 1}
+                _dump()
+                if i < retries:
+                    time.sleep(backoff_s)
+
     # --- eval_cam: trajectory --------------------------------------------
-    try:
+    def _eval_cam():
         cam = evaluate_run(r.rundir, make_plot=True)
         results["eval_cam"] = {k: float(v) for k, v in cam.items()
                                if np.isscalar(v) and np.isfinite(v)}
         print(f"[long_seq] eval_cam: ate_rmse={cam['ate_rmse']:.4f}",
               flush=True)
-    except Exception as e:
-        results["eval_cam"] = {"error": str(e)}
+
+    _attempt("eval_cam", _eval_cam)
     _dump()
 
     # --- eval_rec: mesh vs the analytic GT surface ------------------------
-    try:
+    def _eval_rec():
         est_ply = save_mesh(r, args.frames - 1, resolution=args.mesh_res)
         gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
                                grid_boundary=(-1.0, 1.0))
-        if est_ply is not None and gt_mesh is not None:
-            gv, gf, gn = gt_mesh
-            gt_ply = os.path.join(tmp, "gt_mesh.ply")
-            write_ply(gt_ply, gv, gf, normals=gn)
-            rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
-            results["eval_rec"] = {k: float(v) for k, v in rec.items()}
-            print(f"[long_seq] eval_rec: {rec}", flush=True)
-        else:
-            print("[long_seq] WARNING: mesh extraction failed", flush=True)
-    except Exception as e:
-        results["eval_rec"] = {"error": str(e)}
+        if est_ply is None or gt_mesh is None:
+            raise RuntimeError("mesh extraction failed")
+        gv, gf, gn = gt_mesh
+        gt_ply = os.path.join(tmp, "gt_mesh.ply")
+        write_ply(gt_ply, gv, gf, normals=gn)
+        rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
+        results["eval_rec"] = {k: float(v) for k, v in rec.items()}
+        print(f"[long_seq] eval_rec: {rec}", flush=True)
+
+    _attempt("eval_rec", _eval_rec)
     _dump()
 
     # --- eval_rendering: interpolate + extrapolate -------------------------
-    try:
+    def _eval_rendering():
         interp = evaluate_rendering(r, eval_method="interpolate")
         results["eval_rendering_interpolate"] = {
             k: float(v) for k, v in interp.items() if np.isscalar(v)
@@ -223,8 +239,8 @@ def main():
             and not isinstance(v, str)}
         print(f"[long_seq] rendering: interp psnr={interp['psnr']:.2f} "
               f"extrap psnr={extrap['psnr']:.2f}", flush=True)
-    except Exception as e:
-        results["eval_rendering_error"] = str(e)
+
+    _attempt("eval_rendering", _eval_rendering)
     _dump()
     print(json.dumps(results, indent=2), flush=True)
 
