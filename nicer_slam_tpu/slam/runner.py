@@ -254,6 +254,7 @@ class SLAMRunner:
             Wedge=c.get_int("SLAM.tracking.Wedge", 0),
             lr_step_size=c.get_int("SLAM.tracking.lr_step_size", 50),
             lr_gamma=c.get_float("SLAM.tracking.lr_gamma", 0.95),
+            rot_lr_scale=c.get_float("SLAM.tracking.rot_lr_scale", 1.0),
         )
         gws = c.get_int("SLAM.mapping.global_window_start", 200)
         # local-list worst case: frame<gws gives gws//ke+1 entries; frame>=gws

@@ -35,6 +35,14 @@ class TrackConfig(NamedTuple):
     # StepLR(step_size=50, gamma=0.95) (volsdf_train.py:398)
     lr_step_size: int = 50
     lr_gamma: float = 0.95
+    # Per-dim lr scale on the quaternion dims (beyond-reference, 1.0 =
+    # reference behavior). The tracker's Adam step is ~lr per dim per iter
+    # regardless of gradient, so rotation jitter has the SAME noise floor
+    # as translation — but a quaternion unit of jitter is worth far more
+    # error (0.005 in quat space ~ 0.57 deg/iter wander). Shrinking only
+    # the rotation dims attacks the raw rotation drift
+    # (ate.rotation_drift) without touching translation capture range.
+    rot_lr_scale: float = 1.0
 
 
 def _sample_uv(key, n, H, W, Hedge, Wedge):
@@ -108,6 +116,10 @@ def track_frame(
         decay = track_cfg.lr_gamma ** (opt.step // track_cfg.lr_step_size)
         lr = track_cfg.cam_lr * decay.astype(jnp.float32)
         update, opt = adam_update(opt, grad, lr)
+        if track_cfg.rot_lr_scale != 1.0:
+            dim_scale = jnp.where(jnp.arange(q.shape[0]) < 4,
+                                  track_cfg.rot_lr_scale, 1.0)
+            update = update * dim_scale
         q_new = q + update
         # keep the post-step camera associated with the min pre-step loss
         # (volsdf_train.py:441-443)

@@ -34,7 +34,8 @@ SLAM {{
         conf_residual_beta = {conf_residual_beta}
     }}
     tracking {{ gt_cam = {gt_cam}  lr = {track_lr}  iters = {track_iters}  Hedge = 0  Wedge = 0
-                lr_step_size = {track_lr_step}  lr_gamma = {track_lr_gamma} }}
+                lr_step_size = {track_lr_step}  lr_gamma = {track_lr_gamma}
+                rot_lr_scale = {rot_lr_scale} }}
 }}
 train {{
     expname = "probe"
@@ -153,6 +154,7 @@ def run_probe(args, data_dir=None):
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         track_lr_step=args.track_lr_step, track_lr_gamma=args.track_lr_gamma,
+        rot_lr_scale=args.rot_lr_scale,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
@@ -217,6 +219,10 @@ def build_argparser():
                    help="tracking StepLR gamma (reference: 0.95); e.g. "
                         "step 8 gamma 0.5 anneals the Adam jitter floor "
                         "for slow-motion sequences")
+    p.add_argument("--rot_lr_scale", type=float, default=1.0,
+                   help="per-dim lr scale on the quaternion dims "
+                        "(1.0 = reference; <1 shrinks the rotation noise "
+                        "floor independently of translation)")
     p.add_argument("--grid_lr_factor", type=float, default=20.0)
     p.add_argument("--ba", action="store_true")
     p.add_argument("--mef", type=int, default=4)

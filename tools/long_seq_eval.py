@@ -95,6 +95,7 @@ def main():
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         track_lr_step=args.track_lr_step, track_lr_gamma=args.track_lr_gamma,
+        rot_lr_scale=args.rot_lr_scale,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
