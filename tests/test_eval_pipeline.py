@@ -204,3 +204,53 @@ def test_export_gt_trajs_script(mini_run, tmp_path):
     S = np.asarray(mini_run.dataset.get_scale_mat(), np.float64)
     want = (S @ np.asarray(mini_run.dataset.gt_pose_all[0], np.float64))
     np.testing.assert_allclose(c2w[0, :3, 3], want[:3, 3], atol=1e-5)
+
+
+def test_rotation_drift_metric():
+    """Raw alignment-free rotation drift (ate.rotation_drift): zero for
+    identical trajectories, exact for a known terminal offset, and
+    invariant to a global rigid transform (unlike the sim3 rot_error_deg,
+    which is ill-conditioned on short arcs)."""
+    from nicer_slam_tpu.evaluation import ate
+
+    N = 24
+    th = np.linspace(0, 0.6, N)
+    gt = np.tile(np.eye(4)[None], (N, 1, 1))
+    for i in range(N):
+        c, s = np.cos(th[i]), np.sin(th[i])
+        gt[i, :3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        gt[i, 0, 3] = 0.01 * i
+
+    d0 = ate.rotation_drift(gt, gt)
+    # arccos near 1 floors at ~1e-6 deg in f64 — "zero" means below that
+    assert d0["rot_drift_deg"] < 1e-4
+    assert d0["rot_drift_max_deg"] < 1e-4
+    assert d0["rot_step_deg_mean"] < 1e-4
+
+    # known offset at the last frame only
+    est = gt.copy()
+    a = 0.07
+    c, s = np.cos(a), np.sin(a)
+    est[-1, :3, :3] = est[-1, :3, :3] @ np.array(
+        [[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    d1 = ate.rotation_drift(gt, est)
+    np.testing.assert_allclose(d1["rot_drift_deg"], np.degrees(a),
+                               rtol=1e-6)
+    np.testing.assert_allclose(d1["rot_drift_max_deg"], np.degrees(a),
+                               rtol=1e-6)
+
+    # global rigid transform of the estimate leaves the metric unchanged
+    # (frame-0 anchoring removes the world frame)
+    W = np.eye(4)
+    cw, sw = np.cos(0.4), np.sin(0.4)
+    W[:3, :3] = [[1, 0, 0], [0, cw, -sw], [0, sw, cw]]
+    W[:3, 3] = [0.3, -0.2, 0.1]
+    est_w = np.einsum("ij,njk->nik", W, est)
+    d2 = ate.rotation_drift(gt, est_w)
+    np.testing.assert_allclose(d2["rot_drift_deg"], d1["rot_drift_deg"],
+                               atol=1e-5)
+
+    # curve export
+    d3 = ate.rotation_drift(gt, est, return_curve=True)
+    assert d3["curve"].shape == (N,)
+    assert d3["curve"][0] < 1e-4
