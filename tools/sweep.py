@@ -56,11 +56,18 @@ def _run_one(conf: str, device, root_dir: str, exps_folder: str,
 
 def sweep(confs: Sequence[str], root_dir: str = ".",
           exps_folder: str = "exps", scan_ids: Optional[Sequence[int]] = None,
-          max_devices: Optional[int] = None, quiet: bool = True) -> List[dict]:
+          max_devices: Optional[int] = None, quiet: bool = True,
+          scenes_per_device: int = 1) -> List[dict]:
     """Run each conf on its own local device, concurrently.
 
     More confs than devices are processed in waves (round-robin). Returns a
     result dict per conf: {ok, run_dir, wall_s, device, error?}.
+
+    ``scenes_per_device > 1`` time-shares a chip between several scenes:
+    a single SLAM scene's steps are partly latency-bound (tracking is
+    1024-ray work), so two interleaved scenes on one chip recover real
+    aggregate throughput — the single-chip expression of the
+    scene-parallel scaling mode.
     """
     import jax
 
@@ -72,8 +79,10 @@ def sweep(confs: Sequence[str], root_dir: str = ".",
         scan_ids = [None] * len(confs)
 
     results: List[dict] = [dict() for _ in confs]
-    for wave_start in range(0, len(confs), n_dev):
-        wave = list(range(wave_start, min(wave_start + n_dev, len(confs))))
+    wave_width = n_dev * max(1, scenes_per_device)
+    for wave_start in range(0, len(confs), wave_width):
+        wave = list(range(wave_start,
+                          min(wave_start + wave_width, len(confs))))
         threads = []
         for k, i in enumerate(wave):
             th = threading.Thread(
@@ -97,6 +106,9 @@ def main(argv=None):
     p.add_argument("--exps_folder", default="exps_sweep")
     p.add_argument("--root_dir", default=".")
     p.add_argument("--max_devices", type=int, default=None)
+    p.add_argument("--scenes_per_device", type=int, default=1,
+                   help="time-share each chip between N concurrent scenes "
+                        "(single-chip scene-parallel mode)")
     p.add_argument("--verbose", action="store_true")
     a = p.parse_args(argv)
 
@@ -107,7 +119,8 @@ def main(argv=None):
     t0 = time.time()
     results = sweep(a.conf, root_dir=a.root_dir, exps_folder=a.exps_folder,
                     scan_ids=scan_ids, max_devices=a.max_devices,
-                    quiet=not a.verbose)
+                    quiet=not a.verbose,
+                    scenes_per_device=a.scenes_per_device)
     wall = time.time() - t0
     ok = sum(1 for r in results if r.get("ok"))
     for conf, r in zip(a.conf, results):
