@@ -43,6 +43,8 @@ def main():
     p.add_argument("--frame", type=int, default=300)
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--out", default="/tmp/track_noise.json")
+    p.add_argument("--variants", default=None,
+                   help="comma list of variant names to run (default all)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -98,7 +100,20 @@ def main():
         "anneal60_pix2048": base._replace(num_iters=60, cam_lr=0.01,
                                           num_pixels=2048,
                                           lr_step_size=8, lr_gamma=0.5),
+        # rotation-dim lr scaling on top of the anneal: quaternion jitter
+        # costs more error per unit than translation (rot noise floor)
+        "anneal100_rot025": base._replace(num_iters=100, cam_lr=0.005,
+                                          lr_step_size=12, lr_gamma=0.5,
+                                          rot_lr_scale=0.25),
+        "anneal100_rot01": base._replace(num_iters=100, cam_lr=0.005,
+                                         lr_step_size=12, lr_gamma=0.5,
+                                         rot_lr_scale=0.1),
     }
+    if args.variants:
+        sel = args.variants.split(",")
+        unknown = [v for v in sel if v not in variants]
+        assert not unknown, f"unknown variants: {unknown}"
+        variants = {k: variants[k] for k in sel}
 
     def rot_angle_deg(Ra, Rb):
         tr = np.clip((np.trace(Ra.T @ Rb) - 1) / 2, -1, 1)
