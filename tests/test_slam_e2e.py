@@ -447,3 +447,39 @@ def test_propagate_ba_corrections_rigid_attachment():
     # corrected keyframes themselves are left at their BA values
     np.testing.assert_allclose(r.est_pose_all[4], before[4])
     np.testing.assert_allclose(r.est_pose_all[8], before[8])
+
+
+def test_tracking_rot_lr_scale(runner):
+    """rot_lr_scale semantics: 1.0 is bit-identical to the reference path
+    (the scale branch is compiled out), 0.0 freezes the quaternion dims
+    while translation still moves."""
+    import jax
+    import jax.numpy as jnp
+    from nicer_slam_tpu.slam.tracking import track_frame
+
+    r = runner
+    row = r.store.row(4)
+    K = jnp.asarray(r.dataset.intrinsics_all[4])
+    from nicer_slam_tpu.utils.camera import tensor_from_camera_np
+    init_q = jnp.asarray(tensor_from_camera_np(
+        np.asarray(r.est_pose_all[3], np.float32)))
+    key = jax.random.PRNGKey(11)
+
+    def run(cfg):
+        best_q, final_q, _ = track_frame(
+            r.scene_cfg, cfg, r.tracking_loss_cfg, r.params, r.voxels,
+            r.store.rgb[row], K, init_q, key, r.density_cache)
+        return np.asarray(best_q), np.asarray(final_q)
+
+    base_cfg = r.track_cfg._replace(num_iters=6)
+    b0, f0 = run(base_cfg)
+    b1, f1 = run(base_cfg._replace(rot_lr_scale=1.0))
+    np.testing.assert_array_equal(f0, f1)
+
+    bz, fz = run(base_cfg._replace(rot_lr_scale=0.0))
+    q0 = np.asarray(init_q)
+    np.testing.assert_array_equal(fz[:4], q0[:4])   # rotation frozen
+    assert np.abs(fz[4:] - q0[4:]).max() > 0        # translation moved
+
+    # conf default flows through the runner
+    assert runner.track_cfg.rot_lr_scale == 1.0
