@@ -255,6 +255,11 @@ class SLAMRunner:
             lr_step_size=c.get_int("SLAM.tracking.lr_step_size", 50),
             lr_gamma=c.get_float("SLAM.tracking.lr_gamma", 0.95),
             rot_lr_scale=c.get_float("SLAM.tracking.rot_lr_scale", 1.0),
+            motion_prior_w=c.get_float("SLAM.tracking.motion_prior_w", 0.0),
+            motion_prior_rot_w=c.get_float(
+                "SLAM.tracking.motion_prior_rot_w", 0.0),
+            motion_prior_spring=c.get_float(
+                "SLAM.tracking.motion_prior_spring", 0.0),
         )
         gws = c.get_int("SLAM.mapping.global_window_start", 200)
         # local-list worst case: frame<gws gives gws//ke+1 entries; frame>=gws

@@ -43,6 +43,32 @@ class TrackConfig(NamedTuple):
     # the rotation dims attacks the raw rotation drift
     # (ate.rotation_drift) without touching translation capture range.
     rot_lr_scale: float = 1.0
+    # Constant-velocity motion prior (beyond-reference, 0.0 = reference
+    # behavior): quadratic pull toward the init pose (the runner's
+    # constant-velocity extrapolation). Rationale (TRACK_NOISE_r04): the
+    # photometric tracking gradient is noise once the pose is within the
+    # render's resolving power, but Adam keeps taking ~lr-sized steps on
+    # that noise — an unanchored random walk ~10x the true inter-frame
+    # motion. A MAP-style prior g = 2*w*(q - q_init) gives the walk a
+    # restoring force: it is negligible while the photometric gradient is
+    # informative (large residual) and dominant once tracking is inside
+    # its noise floor, capping per-frame wander at ~sqrt(photo_grad/(2w)).
+    # Separate weights because one quaternion unit ~ 114 deg while one
+    # translation unit is a scene unit.
+    motion_prior_w: float = 0.0       # translation dims (tx ty tz)
+    motion_prior_rot_w: float = 0.0   # quaternion dims (qw qx qy qz)
+    # Decoupled spring toward the init pose (beyond-reference, 0.0 =
+    # reference behavior), applied OUTSIDE the optimizer like AdamW's
+    # decoupled weight decay: q <- q - s*(q - q_init) after each Adam
+    # step. Rationale: Adam normalizes gradients per-dim, so an in-LOSS
+    # prior's restoring force is capped at ~lr/iter no matter its weight
+    # — it competes with the noise walk instead of damping it. The
+    # decoupled spring pulls back a guaranteed fraction s per iter,
+    # turning the unanchored ~lr random walk (TRACK_NOISE_r04) into a
+    # mean-reverting one with stationary std ~ lr/sqrt(2s), while real
+    # photometric signal can still displace the pose by ~(adam step)/s
+    # per equilibrium — scale-free across quat and translation dims.
+    motion_prior_spring: float = 0.0
 
 
 def _sample_uv(key, n, H, W, Hedge, Wedge):
@@ -109,7 +135,13 @@ def track_frame(
             }
             terms = compute_losses(loss_cfg, out, gt, batch, stage="fine",
                                    num_slots=1)
-            return terms["loss"]
+            total = terms["loss"]
+            if track_cfg.motion_prior_w or track_cfg.motion_prior_rot_w:
+                dq = q7 - init_q
+                total = total + (
+                    track_cfg.motion_prior_rot_w * jnp.sum(dq[:4] ** 2)
+                    + track_cfg.motion_prior_w * jnp.sum(dq[4:] ** 2))
+            return total
 
         loss, grad = jax.value_and_grad(loss_fn)(q)
         # StepLR schedule
@@ -121,6 +153,8 @@ def track_frame(
                                   track_cfg.rot_lr_scale, 1.0)
             update = update * dim_scale
         q_new = q + update
+        if track_cfg.motion_prior_spring:
+            q_new = q_new - track_cfg.motion_prior_spring * (q_new - init_q)
         # keep the post-step camera associated with the min pre-step loss
         # (volsdf_train.py:441-443)
         better = loss < best_loss

@@ -483,3 +483,61 @@ def test_tracking_rot_lr_scale(runner):
 
     # conf default flows through the runner
     assert runner.track_cfg.rot_lr_scale == 1.0
+
+
+def test_tracking_motion_prior(runner):
+    """Motion-prior semantics. In-loss prior: 0.0 is bit-identical to the
+    reference path (branch compiled out); a large weight pulls the final
+    pose back toward the init (but Adam's per-dim normalization caps its
+    restoring force at ~lr/iter, so it only damps — no clamp guarantee).
+    Decoupled spring: 1.0 pins the pose at the init exactly, fractional
+    values mean-revert the walk."""
+    import jax
+    import jax.numpy as jnp
+    from nicer_slam_tpu.slam.tracking import track_frame
+
+    r = runner
+    row = r.store.row(4)
+    K = jnp.asarray(r.dataset.intrinsics_all[4])
+    from nicer_slam_tpu.utils.camera import tensor_from_camera_np
+    init_q = jnp.asarray(tensor_from_camera_np(
+        np.asarray(r.est_pose_all[3], np.float32)))
+    key = jax.random.PRNGKey(13)
+
+    def run(cfg):
+        _, final_q, _ = track_frame(
+            r.scene_cfg, cfg, r.tracking_loss_cfg, r.params, r.voxels,
+            r.store.rgb[row], K, init_q, key, r.density_cache)
+        return np.asarray(final_q)
+
+    base_cfg = r.track_cfg._replace(num_iters=8)
+    f0 = run(base_cfg)
+    np.testing.assert_array_equal(
+        f0, run(base_cfg._replace(motion_prior_w=0.0,
+                                  motion_prior_rot_w=0.0,
+                                  motion_prior_spring=0.0)))
+
+    q0 = np.asarray(init_q)
+    dist0 = np.linalg.norm(f0 - q0)
+    assert dist0 > 0  # unconstrained tracker moves
+
+    # in-loss prior damps the walk (directional, not a clamp — Adam
+    # normalizes the prior gradient per-dim)
+    f_mp = run(base_cfg._replace(motion_prior_w=1e6,
+                                 motion_prior_rot_w=1e6))
+    assert np.linalg.norm(f_mp - q0) < dist0
+
+    # spring=1.0 pins the pose at the init (up to one fp32 rounding of
+    # the q - (q - q0) cancellation per iter)
+    f_pin = run(base_cfg._replace(motion_prior_spring=1.0))
+    np.testing.assert_allclose(f_pin, q0, atol=1e-6)
+
+    # fractional spring mean-reverts: final distance well under the
+    # unconstrained walk
+    f_s = run(base_cfg._replace(motion_prior_spring=0.5))
+    assert np.linalg.norm(f_s - q0) < dist0
+
+    # conf default flows through the runner (reference behavior = off)
+    assert runner.track_cfg.motion_prior_w == 0.0
+    assert runner.track_cfg.motion_prior_rot_w == 0.0
+    assert runner.track_cfg.motion_prior_spring == 0.0

@@ -26,6 +26,7 @@ SLAM {{
         BA_cam_lr = {ba_cam_lr}
         pose_graph_propagate = {pose_graph}
         keyframe_every = 10
+        global_window_start = {gws}
         mapping_every_frame = {mef}
         iters = {map_iters}
         conf_weight = {conf_weight}
@@ -35,7 +36,10 @@ SLAM {{
     }}
     tracking {{ gt_cam = {gt_cam}  lr = {track_lr}  iters = {track_iters}  Hedge = 0  Wedge = 0
                 lr_step_size = {track_lr_step}  lr_gamma = {track_lr_gamma}
-                rot_lr_scale = {rot_lr_scale} }}
+                rot_lr_scale = {rot_lr_scale}
+                motion_prior_w = {motion_prior_w}
+                motion_prior_rot_w = {motion_prior_rot_w}
+                motion_prior_spring = {motion_prior_spring} }}
 }}
 train {{
     expname = "probe"
@@ -151,10 +155,14 @@ def run_probe(args, data_dir=None):
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        gws=args.gws,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         track_lr_step=args.track_lr_step, track_lr_gamma=args.track_lr_gamma,
         rot_lr_scale=args.rot_lr_scale,
+        motion_prior_w=args.motion_prior_w,
+        motion_prior_rot_w=args.motion_prior_rot_w,
+        motion_prior_spring=args.motion_prior_spring,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,
@@ -223,6 +231,19 @@ def build_argparser():
                    help="per-dim lr scale on the quaternion dims "
                         "(1.0 = reference; <1 shrinks the rotation noise "
                         "floor independently of translation)")
+    p.add_argument("--motion_prior_w", type=float, default=0.0,
+                   help="constant-velocity motion-prior weight on the "
+                        "translation dims (0 = reference behavior)")
+    p.add_argument("--motion_prior_rot_w", type=float, default=0.0,
+                   help="motion-prior weight on the quaternion dims")
+    p.add_argument("--gws", type=int, default=200,
+                   help="SLAM.mapping.global_window_start (reference: 200)."
+                        " Lower it so short probes enter the global-window"
+                        " regime where precomputed-flow edges are live")
+    p.add_argument("--motion_prior_spring", type=float, default=0.0,
+                   help="decoupled (AdamW-style) spring toward the "
+                        "constant-velocity init, fraction pulled back "
+                        "per tracking iter (0 = reference behavior)")
     p.add_argument("--grid_lr_factor", type=float, default=20.0)
     p.add_argument("--ba", action="store_true")
     p.add_argument("--mef", type=int, default=4)

@@ -92,10 +92,14 @@ def main():
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        gws=args.gws,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
         track_lr_step=args.track_lr_step, track_lr_gamma=args.track_lr_gamma,
         rot_lr_scale=args.rot_lr_scale,
+        motion_prior_w=args.motion_prior_w,
+        motion_prior_rot_w=args.motion_prior_rot_w,
+        motion_prior_spring=args.motion_prior_spring,
         conf_weight="true" if args.conf_weight else "false",
         conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
         conf_residual_beta=args.conf_residual_beta,

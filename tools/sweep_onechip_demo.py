@@ -66,6 +66,10 @@ def main():
             track_lr_step=args.track_lr_step,
             track_lr_gamma=args.track_lr_gamma,
             rot_lr_scale=args.rot_lr_scale,
+            motion_prior_w=args.motion_prior_w,
+            motion_prior_rot_w=args.motion_prior_rot_w,
+            motion_prior_spring=args.motion_prior_spring,
+            gws=args.gws,
             conf_weight="true" if args.conf_weight else "false",
             conf_floor=args.conf_floor, conf_recency_kf=args.conf_recency_kf,
             conf_residual_beta=args.conf_residual_beta,
