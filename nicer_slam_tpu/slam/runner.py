@@ -25,7 +25,8 @@ import numpy as np
 from .. import config as config_mod
 from ..models import scene_model as sm
 from ..models.losses import loss_config_from_conf
-from ..utils.camera import camera_from_tensor_np, tensor_from_camera_np
+from ..utils.camera import (camera_from_tensor_np, clamp_pose_to_anchor_np,
+                            tensor_from_camera_np)
 from . import checkpoint as ckpt
 from .frame_store import FrameStore
 from .keyframes import KeyframeConfig, KeyframeSelector
@@ -95,6 +96,22 @@ class SLAMRunner:
         self.BA_end_ratio = c.get_float("SLAM.mapping.BA_end_ratio", 1.0)
         self.pose_graph_propagate = c.get_bool(
             "SLAM.mapping.pose_graph_propagate", False)
+        # BA trust region (0 = off = reference behavior): bound each
+        # keyframe's LIFETIME BA displacement from the pose it had at its
+        # first BA touch (~its tracked pose). Motivation (ba_grad_probe /
+        # LONG_SEQ_FINAL_r05 post-mortem): the fresh-Adam sign step means a
+        # persistently-biased pose gradient drags a keyframe ~BA_cam_lr per
+        # iteration for every call it stays in the window — at the
+        # pre-global regime (frame < global_window_start the local list is
+        # ALL keyframes, volsdf_train.py:476) that integrates to 0.06-0.25
+        # displacements, 50-200x the per-frame motion, which then feed the
+        # map as authoritative keyframe geometry. The trust region caps the
+        # correction at the scale of the tracking noise BA exists to fix.
+        self.BA_trust_radius = c.get_float("SLAM.mapping.BA_trust_radius",
+                                           0.0)
+        self.BA_trust_rot_deg = c.get_float("SLAM.mapping.BA_trust_rot_deg",
+                                            0.0)
+        self._ba_anchor: Dict[int, np.ndarray] = {}
         # confidence-weighted mapping (drift-loop damping, off = reference
         # behavior): rays from recently-tracked poses — which BA has not yet
         # refined — get loss weight conf_floor, ramping to 1.0 once the pose
@@ -614,7 +631,16 @@ class SLAMRunner:
                         if kf not in ba_snapshot and kf in self.est_pose_all:
                             ba_snapshot[kf] = np.asarray(
                                 self.est_pose_all[kf]).copy()
-                        self.est_pose_all[kf] = camera_from_tensor_np(new_q[s])
+                        new_c2w = camera_from_tensor_np(new_q[s])
+                        if (self.BA_trust_radius > 0
+                                or self.BA_trust_rot_deg > 0):
+                            if kf not in self._ba_anchor:
+                                self._ba_anchor[kf] = np.asarray(
+                                    self.est_pose_all.get(kf, new_c2w)).copy()
+                            new_c2w = clamp_pose_to_anchor_np(
+                                new_c2w, self._ba_anchor[kf],
+                                self.BA_trust_radius, self.BA_trust_rot_deg)
+                        self.est_pose_all[kf] = new_c2w
 
             if self.verbose and mapping_iter % 20 == 0:
                 self.log(f"[map {frame_idx}:{mapping_iter}] "

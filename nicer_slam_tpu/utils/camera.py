@@ -251,6 +251,50 @@ def invert_pose_np(pose: np.ndarray) -> np.ndarray:
     return np.concatenate([R_inv, t_inv], axis=-1)
 
 
+def clamp_pose_to_anchor_np(pose: np.ndarray, anchor: np.ndarray,
+                            trans_radius: float = 0.0,
+                            rot_deg: float = 0.0) -> np.ndarray:
+    """Clamp a 4x4 c2w pose into a trust region around an anchor pose.
+
+    Beyond-reference BA safety rail (radius 0 = untouched = reference
+    behavior). Motivation (LONG_SEQ_FINAL_r05 post-mortem): the reference's
+    per-iteration fresh-Adam BA step (volsdf_train.py:511-528,575-578) is a
+    sign step of magnitude BA_cam_lr, so any persistently-biased mapping-loss
+    pose gradient drags a keyframe ~BA_cam_lr per iteration for as long as it
+    stays in the window — observed as 0.06-0.25 keyframe displacements at a
+    0.0012 per-frame motion scale. A trust region bounds the lifetime BA
+    correction to the scale of the tracking noise it exists to fix.
+
+    trans_radius: max ||t - t_anchor|| (scene units); rot_deg: max geodesic
+    rotation from the anchor orientation. Either 0 disables that clamp.
+    """
+    out = np.asarray(pose, np.float64).copy()
+    anchor = np.asarray(anchor, np.float64)
+    if trans_radius > 0:
+        d = out[:3, 3] - anchor[:3, 3]
+        n = float(np.linalg.norm(d))
+        if n > trans_radius:
+            out[:3, 3] = anchor[:3, 3] + d * (trans_radius / n)
+    if rot_deg > 0:
+        R_delta = out[:3, :3] @ anchor[:3, :3].T
+        cos = np.clip((np.trace(R_delta) - 1.0) / 2.0, -1.0, 1.0)
+        theta = float(np.arccos(cos))
+        theta_max = np.radians(rot_deg)
+        if theta > theta_max and theta > 1e-9:
+            # axis of R_delta, rescaled to theta_max (Rodrigues)
+            ax = np.array([R_delta[2, 1] - R_delta[1, 2],
+                           R_delta[0, 2] - R_delta[2, 0],
+                           R_delta[1, 0] - R_delta[0, 1]])
+            ax = ax / max(np.linalg.norm(ax), 1e-12)
+            K = np.array([[0, -ax[2], ax[1]],
+                          [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            R_clamped = (np.eye(3) + np.sin(theta_max) * K
+                         + (1 - np.cos(theta_max)) * (K @ K))
+            out[:3, :3] = R_clamped @ anchor[:3, :3]
+    return out.astype(np.asarray(pose).dtype)
+
+
 def prealign_cameras_apply_another_np(pose: np.ndarray, pose_GT: np.ndarray,
                                       apply_pose: np.ndarray):
     """sim(3)-align ``pose`` onto ``pose_GT`` and apply it to ``apply_pose``.

@@ -85,3 +85,49 @@ def test_procrustes_alignment_recovers_sim3():
     sim3 = cam.procrustes_analysis_np(X0, X1)
     X1to0 = (X1 - sim3["t1"]) / sim3["s1"] @ sim3["R"].T * sim3["s0"] + sim3["t0"]
     np.testing.assert_allclose(X1to0, X0, atol=1e-4)
+
+
+def test_clamp_pose_to_anchor():
+    rng = np.random.default_rng(7)
+    anchor = np.eye(4)
+    # within-region pose untouched (both clamps active)
+    p = np.eye(4)
+    p[:3, 3] = [0.005, 0.0, 0.0]
+    out = cam.clamp_pose_to_anchor_np(p, anchor, trans_radius=0.01,
+                                      rot_deg=5.0)
+    np.testing.assert_allclose(out, p, atol=1e-12)
+    # zero radii = reference behavior: nothing clamped even far away
+    p2 = np.eye(4)
+    p2[:3, 3] = [10.0, 0.0, 0.0]
+    out2 = cam.clamp_pose_to_anchor_np(p2, anchor, 0.0, 0.0)
+    np.testing.assert_allclose(out2, p2, atol=1e-12)
+    # translation clamped onto the radius sphere, direction preserved
+    d = rng.normal(size=3)
+    p3 = np.eye(4)
+    p3[:3, 3] = d
+    out3 = cam.clamp_pose_to_anchor_np(p3, anchor, trans_radius=0.02,
+                                       rot_deg=0.0)
+    np.testing.assert_allclose(np.linalg.norm(out3[:3, 3]), 0.02, atol=1e-9)
+    np.testing.assert_allclose(out3[:3, 3] / 0.02, d / np.linalg.norm(d),
+                               atol=1e-9)
+    # rotation clamped to rot_deg about the same axis
+    q = rng.normal(size=4)
+    R = np.asarray(cam.quad2rotation(jnp.asarray(q / np.linalg.norm(q),
+                                                 dtype=jnp.float32)),
+                   dtype=np.float64)
+    p4 = np.eye(4)
+    p4[:3, :3] = R
+    out4 = cam.clamp_pose_to_anchor_np(p4, anchor, 0.0, rot_deg=3.0)
+    Rd = out4[:3, :3] @ anchor[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1)))
+    np.testing.assert_allclose(ang, 3.0, atol=1e-6)
+    # clamped rotation is still orthonormal
+    np.testing.assert_allclose(out4[:3, :3] @ out4[:3, :3].T, np.eye(3),
+                               atol=1e-9)
+    # axis preserved: composing the clamp direction further should reach R
+    # (clamped delta is exp(theta_max * axis) for the delta's own axis)
+    w, v = np.linalg.eig(Rd)
+    ax_c = np.real(v[:, np.argmin(np.abs(w - 1))])
+    w2, v2 = np.linalg.eig(p4[:3, :3])
+    ax_f = np.real(v2[:, np.argmin(np.abs(w2 - 1))])
+    assert abs(abs(ax_c @ ax_f)) > 0.999

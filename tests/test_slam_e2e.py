@@ -541,3 +541,46 @@ def test_tracking_motion_prior(runner):
     assert runner.track_cfg.motion_prior_w == 0.0
     assert runner.track_cfg.motion_prior_rot_w == 0.0
     assert runner.track_cfg.motion_prior_spring == 0.0
+
+
+def test_ba_trust_region_bounds_writeback(tiny_scene, tmp_path_factory):
+    """BA_trust_radius/_rot_deg: every BA-written keyframe pose stays inside
+    the trust ball around its first-BA-touch anchor, even with a BA_cam_lr
+    cranked far above the radius (the sign-step would otherwise move it
+    n_ba_iters * lr per mapping call). 0/0 (default) is reference behavior
+    and is covered by every other BA test in this file."""
+    work = tmp_path_factory.mktemp("exp_trust")
+    conf_path = str(work / "tiny_trust.conf")
+    conf = TINY_CONF.format(data_dir=tiny_scene, H=60, W=80, n_images=6,
+                            map_iters=8, track_iters=6)
+    conf = conf.replace(
+        "BA_cam_lr = 0.001",
+        "BA_cam_lr = 0.05\n        BA_trust_radius = 0.01\n"
+        "        BA_trust_rot_deg = 0.5")
+    with open(conf_path, "w") as f:
+        f.write(conf)
+    from nicer_slam_tpu.slam.runner import SLAMRunner
+
+    r = SLAMRunner(conf=conf_path, root_dir=str(work), quiet=True)
+    assert r.BA_trust_radius == 0.01 and r.BA_trust_rot_deg == 0.5
+    for fidx in range(6):
+        r.track(fidx)
+        if fidx % r.mapping_every_frame == 0:
+            r.map(fidx)
+    # BA ran (frame 4 mapping call has iters > 0.7*8) and anchored keyframes
+    assert r._ba_anchor, "BA never wrote back — test setup regressed"
+    for kf, anchor in r._ba_anchor.items():
+        cur = np.asarray(r.est_pose_all[kf])
+        d = float(np.linalg.norm(cur[:3, 3] - anchor[:3, 3]))
+        assert d <= 0.01 + 1e-5, (kf, d)
+        Rd = cur[:3, :3] @ anchor[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1)))
+        # f32 quaternion<->matrix round-trips between clamp and the next
+        # writeback add ~0.005 deg of slop on top of the exact clamp
+        assert ang <= 0.5 + 0.01, (kf, ang)
+    # with lr 0.05 and 2 BA iters/call the unclamped step would be ~0.1;
+    # at least one keyframe must actually have hit the clamp
+    hits = [kf for kf, anchor in r._ba_anchor.items()
+            if np.linalg.norm(np.asarray(r.est_pose_all[kf])[:3, 3]
+                              - anchor[:3, 3]) > 0.0099]
+    assert hits, "clamp never engaged — BA_cam_lr too small for the test"

@@ -24,6 +24,8 @@ SLAM {{
         BA_ratio = {ba_ratio}
         BA_end_ratio = {ba_end_ratio}
         BA_cam_lr = {ba_cam_lr}
+        BA_trust_radius = {ba_trust_radius}
+        BA_trust_rot_deg = {ba_trust_rot}
         pose_graph_propagate = {pose_graph}
         keyframe_every = 10
         global_window_start = {gws}
@@ -155,6 +157,8 @@ def run_probe(args, data_dir=None):
         ba="true" if args.ba else "false", mef=args.mef,
         window=args.window, ba_ratio=args.ba_ratio,
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        ba_trust_radius=args.ba_trust_radius,
+        ba_trust_rot=args.ba_trust_rot,
         gws=args.gws,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
@@ -260,6 +264,12 @@ def build_argparser():
     p.add_argument("--ba_ratio", type=float, default=0.7)
     p.add_argument("--ba_end_ratio", type=float, default=1.0)
     p.add_argument("--ba_cam_lr", type=float, default=0.001)
+    p.add_argument("--ba_trust_radius", type=float, default=0.0,
+                   help="lifetime BA displacement cap per keyframe "
+                        "(scene units; 0 = off = reference behavior)")
+    p.add_argument("--ba_trust_rot", type=float, default=0.0,
+                   help="lifetime BA rotation cap per keyframe "
+                        "(degrees; 0 = off = reference behavior)")
     p.add_argument("--pose_graph", action="store_true",
                    help="propagate BA keyframe corrections to attached frames")
     p.add_argument("--color_grid", action="store_true",

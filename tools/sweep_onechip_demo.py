@@ -61,6 +61,8 @@ def main():
             ba="true" if args.ba else "false", mef=args.mef,
             window=args.window, ba_ratio=args.ba_ratio,
             ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
+        ba_trust_radius=args.ba_trust_radius,
+        ba_trust_rot=args.ba_trust_rot,
             pose_graph="true" if args.pose_graph else "false",
             gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
             track_lr_step=args.track_lr_step,
