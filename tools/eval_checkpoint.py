@@ -103,6 +103,36 @@ def main(argv=None):
         results["eval_rec"] = {"error": str(e)}
     dump()
 
+    # --- rendered-depth scale bias ------------------------------------------
+    # Drift post-mortem diagnostic (BASELINE.md round-5 "secular BA keyframe
+    # drag"): if the map's rendered depth at a frame's estimated pose is a
+    # multiplicative factor k of the true depth, the photometric tracking
+    # translation that re-aligns pixels scales by ~k — a per-frame step
+    # inflation that integrates into Horn-scale drift. Median ratio per
+    # probe frame; requires the dataset to ship *_gt_depth.png.
+    try:
+        if getattr(r.dataset, "gt_depth_paths", None):
+            rows = []
+            for f in sorted({0, int(last) // 4, int(last) // 2,
+                             3 * int(last) // 4, int(last)}):
+                rendered = r.render_full_image(f)["depth"].reshape(-1)
+                gt_d = r.dataset.frame(f)["gt_depth"]
+                ok = (gt_d > 1e-4) & np.isfinite(rendered) & (rendered > 1e-4)
+                ratio = rendered[ok] / gt_d[ok]
+                rows.append({"frame": int(f),
+                             "depth_ratio_median": float(np.median(ratio)),
+                             "depth_ratio_p25": float(np.percentile(ratio, 25)),
+                             "depth_ratio_p75": float(np.percentile(ratio, 75)),
+                             "depth_mae": float(np.mean(np.abs(
+                                 rendered[ok] - gt_d[ok])))})
+                print(f"[eval_ckpt] depth bias f{f}: "
+                      f"median ratio {rows[-1]['depth_ratio_median']:.3f}",
+                      flush=True)
+            results["depth_bias"] = rows
+    except Exception as e:
+        results["depth_bias"] = {"error": str(e)}
+    dump()
+
     # --- rendering ---------------------------------------------------------
     try:
         # clamp the interpolate protocol to frames the run actually saw
