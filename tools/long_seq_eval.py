@@ -157,6 +157,31 @@ def main():
                "wall_s": round(time.time() - t0, 1)}
         rec.update({k: float(v) for k, v in m.items()
                     if np.isscalar(v) and np.isfinite(v)})
+        # map health (round-5 forensics: the spring run's SDF ended with NO
+        # zero crossing — all-positive — and the anneal run's all-negative,
+        # i.e. the map DIED mid-run and tracking coasted; record the death
+        # frame). negfrac in (0,1) = a surface exists; 0.0 or 1.0 = dead.
+        try:
+            import jax as _jax
+            import jax.numpy as _jnp
+            from nicer_slam_tpu.models import fields as _fields
+            if not hasattr(interim_hook, "_sdf_fn"):
+                interim_hook._sdf_fn = _jax.jit(
+                    lambda p, x: _fields.combine_sdf(
+                        runner.scene_cfg.combine, p, x, "fine")[:, 0])
+                xs = np.linspace(-0.98, 0.98, 32, dtype=np.float32)
+                interim_hook._grid = _jnp.asarray(
+                    np.stack(np.meshgrid(xs, xs, xs, indexing="ij"),
+                             -1).reshape(-1, 3))
+            sdf = np.asarray(interim_hook._sdf_fn(
+                runner.params["implicit"], interim_hook._grid))
+            rec["sdf_negfrac"] = float((sdf < 0).mean())
+            out0 = runner.render_full_image(0)
+            gt0 = runner.dataset.frame(0)["rgb"].reshape(out0["rgb"].shape)
+            mse = float(np.mean((out0["rgb"] - gt0) ** 2))
+            rec["psnr_frame0"] = float(-10.0 * np.log10(max(mse, 1e-12)))
+        except Exception as e:
+            rec["map_health_error"] = str(e)
         results["interim"].append(rec)
         _dump()
         try:
