@@ -45,6 +45,14 @@ class LossConfig(NamedTuple):
     # dataset special case: Replica scan 4 uses a full depth mask
     # (loss.py:170-173)
     full_depth_mask: bool = False
+    # Collapse guard (beyond-reference, 0 = off = reference behavior):
+    # hinge relu(margin - sdf(camera_origin)) over the window's cameras.
+    # Cameras are in free space by construction; at scale the objective has
+    # a degenerate attractor where the SDF drifts all-negative and the idr
+    # color net fits the views as a light field at the camera (round-5
+    # forensics, BASELINE.md) — this pins the level where it is cheapest.
+    cam_freespace_w: float = 0.0
+    cam_freespace_margin: float = 0.05
 
 
 def loss_config_from_conf(conf: Config, full_depth_mask: bool = False) -> LossConfig:
@@ -63,6 +71,8 @@ def loss_config_from_conf(conf: Config, full_depth_mask: bool = False) -> LossCo
         assign_scale_shift_init=conf.get_bool("assign_scale_shift_init", False),
         assign_scale=conf.get_float("assign_scale", 20.0),
         full_depth_mask=full_depth_mask,
+        cam_freespace_w=conf.get_float("cam_freespace_w", 0.0),
+        cam_freespace_margin=conf.get_float("cam_freespace_margin", 0.05),
     )
 
 
@@ -339,6 +349,16 @@ def compute_losses(
     else:
         terms["flow_loss"] = jnp.asarray(0.0)
 
+    # collapse guard (beyond-reference; see LossConfig.cam_freespace_w)
+    if cfg.cam_freespace_w > 0 and "cam_sdf" in outputs:
+        sv = batch.slot_valid.astype(jnp.float32)
+        hinge = jnp.maximum(
+            cfg.cam_freespace_margin - outputs["cam_sdf"], 0.0)
+        terms["cam_freespace_loss"] = ((hinge * sv).sum()
+                                       / jnp.maximum(sv.sum(), 1.0))
+    else:
+        terms["cam_freespace_loss"] = jnp.asarray(0.0)
+
     total = (
         cfg.flow_weight * terms["flow_loss"]
         + cfg.depth_weight * terms["depth_loss"]
@@ -349,6 +369,7 @@ def compute_losses(
         + cfg.eikonal_weight * terms["eikonal_loss"]
         + cfg.normal_cos_weight * terms["normal_cos"]
         + gt_depth_weight * terms["gt_depth_loss"]
+        + cfg.cam_freespace_w * terms["cam_freespace_loss"]
     )
     terms["loss"] = total
     return terms

@@ -493,6 +493,19 @@ def render_rays(
     normal_map = jnp.einsum("rij,ri->rj", rot, normal_map)
     out["normal_map"] = normal_map
 
+    # ---- SDF at the camera origins (collapse guard input, beyond-reference)
+    # Round-5 forensics: at scale the objective has a degenerate attractor —
+    # the SDF drifts all-negative ("fog"), transmittance dies at the first
+    # sample, and the idr color net (fed position+viewdir) fits the training
+    # views as a LIGHT FIELD at the camera (anneal@300 checkpoint: interp
+    # PSNR 43 with rendered depth 0.002 and zero geometry). Cameras are in
+    # free space by construction, so sdf(cam) must stay positive; the hinge
+    # in compute_losses (cam_freespace_w) uses this. ~S extra SDF points —
+    # negligible.
+    cam_pts = batch.poses[:, :3, 3]
+    out["cam_sdf"] = fields.combine_sdf(cfg.combine, params["implicit"],
+                                        cam_pts, stage)[:, 0]
+
     if is_mapping:
         out["voxels"] = new_voxels
     return out

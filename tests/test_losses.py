@@ -269,3 +269,46 @@ def test_slot_confidence_policy():
     np.testing.assert_allclose(conf[4], 0.3, rtol=1e-6)
     # padded slots stay 1 (they're masked out by slot_valid anyway)
     assert np.all(conf[5:] == 1.0)
+
+
+def test_cam_freespace_collapse_guard():
+    """cam_freespace_w: hinge on sdf(camera) — positive exactly when a valid
+    slot's camera sdf is below the margin; weight 0 (default) leaves the
+    total identical to the reference path even with cam_sdf present."""
+    R, S = 16, 4
+    batch = make_batch(R, S)
+    rng = np.random.default_rng(5)
+    outputs = {
+        "rgb_values": jnp.asarray(rng.uniform(0, 1, (R, 3)).astype(np.float32)),
+        "depth_values": jnp.asarray(rng.uniform(0.5, 2, (R, 1)).astype(np.float32)),
+        "normal_map": jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32)),
+        "sdf": jnp.asarray(rng.normal(size=(R, 8)).astype(np.float32)),
+        # slots 0,1 healthy (above margin), slot 2 in "fog" (negative);
+        # slot 3 violating but INVALID -> must not contribute
+        "cam_sdf": jnp.asarray([0.5, 0.06, -1.2, -9.0], jnp.float32),
+    }
+    gt = {
+        "rgb": outputs["rgb_values"],
+        "depth": jnp.asarray(rng.uniform(0, 1, (R, 1)).astype(np.float32)),
+        "normal": jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32)),
+        "gt_depth": jnp.asarray(rng.uniform(0.5, 2, (R, 1)).astype(np.float32)),
+        "mask": jnp.ones((R, 1)),
+    }
+    batch = batch._replace(slot_valid=jnp.asarray([True, True, True, False]))
+    cfg_off = L.LossConfig(rgb_loss_weight=1.0)
+    cfg_on = L.LossConfig(rgb_loss_weight=1.0, cam_freespace_w=10.0,
+                          cam_freespace_margin=0.05)
+    kw = dict(stage="fine", is_first_frame=False, num_slots=S)
+    t_off = L.compute_losses(cfg_off, outputs, gt, batch, **kw)
+    t_on = L.compute_losses(cfg_on, outputs, gt, batch, **kw)
+    assert float(t_off["cam_freespace_loss"]) == 0.0
+    # hinge = mean over the 3 VALID slots of relu(0.05 - sdf):
+    # (0 + 0 + 1.25) / 3 (slot 3 excluded despite -9)
+    np.testing.assert_allclose(float(t_on["cam_freespace_loss"]), 1.25 / 3,
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        float(t_on["loss"]) - float(t_off["loss"]), 10.0 * 1.25 / 3, rtol=1e-5)
+    # all-healthy cameras -> zero hinge even when enabled
+    outputs2 = dict(outputs, cam_sdf=jnp.asarray([0.5, 0.4, 0.3, 0.2]))
+    t2 = L.compute_losses(cfg_on, outputs2, gt, batch, **kw)
+    assert float(t2["cam_freespace_loss"]) == 0.0

@@ -70,6 +70,8 @@ loss {{
     normal_l1_weight = 0.05
     normal_cos_weight = 0.05
     flow_weight = 0.001
+    cam_freespace_w = {cam_fs_w}
+    cam_freespace_margin = {cam_fs_margin}
 }}
 tracking_loss {{
     rgb_loss = "torch.nn.L1Loss"
@@ -159,6 +161,8 @@ def run_probe(args, data_dir=None):
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
         ba_trust_radius=args.ba_trust_radius,
         ba_trust_rot=args.ba_trust_rot,
+        cam_fs_w=args.cam_freespace_w,
+        cam_fs_margin=args.cam_freespace_margin,
         gws=args.gws,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
@@ -267,6 +271,10 @@ def build_argparser():
     p.add_argument("--ba_trust_radius", type=float, default=0.0,
                    help="lifetime BA displacement cap per keyframe "
                         "(scene units; 0 = off = reference behavior)")
+    p.add_argument("--cam_freespace_w", type=float, default=0.0,
+                   help="collapse-guard hinge weight on sdf(camera) "
+                        "(0 = off = reference behavior)")
+    p.add_argument("--cam_freespace_margin", type=float, default=0.05)
     p.add_argument("--ba_trust_rot", type=float, default=0.0,
                    help="lifetime BA rotation cap per keyframe "
                         "(degrees; 0 = off = reference behavior)")

@@ -94,6 +94,8 @@ def main():
         ba_end_ratio=args.ba_end_ratio, ba_cam_lr=args.ba_cam_lr,
         ba_trust_radius=args.ba_trust_radius,
         ba_trust_rot=args.ba_trust_rot,
+        cam_fs_w=args.cam_freespace_w,
+        cam_fs_margin=args.cam_freespace_margin,
         gws=args.gws,
         pose_graph="true" if args.pose_graph else "false",
         gt_cam="true" if args.gt_cam else "false", warp_w=args.warp_w,
