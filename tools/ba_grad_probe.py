@@ -121,8 +121,11 @@ def main(argv=None):
     term_names = [k for k, w in weights.items() if w > 0]
     use_flow = r._use_flow and refs.edge_valid is not None
 
-    def make_loss(term):
-        def loss_fn(q, key):
+    def make_losses_vec(term_list):
+        """ONE jitted jacrev over a stacked term vector — a single XLA
+        compile instead of one ~15-min compile per term (the per-term-jit
+        version burned a whole chip window on compiles alone)."""
+        def losses_vec(q, key):
             k_pix, k_render = jax.random.split(key)
             slot, ray_valid = _ray_slots(R, refs.n_valid)
             pix = jax.random.randint(k_pix, (R,), 0, HW)
@@ -166,9 +169,11 @@ def main(argv=None):
                 loss_cfg, out, gt, batch, stage=stage,
                 is_first_frame=False, num_slots=Smax,
                 flow_gt=flow_gt, flow_mask=flow_mask, edges=edges)
-            return weights.get(term, 1.0) * terms[term] if term != "loss" \
+            return jnp.stack([
+                (weights.get(t, 1.0) * terms[t]) if t != "loss"
                 else terms["loss"]
-        return jax.jit(jax.grad(loss_fn))
+                for t in term_list])
+        return jax.jit(jax.jacrev(losses_vec))
 
     # observed keyframe drag: deviation of t[kf] from its neighbours'
     # midpoint, also expressed in the keyframe's own camera frame
@@ -195,9 +200,12 @@ def main(argv=None):
                "terms": {}}
 
     keys = [jax.random.PRNGKey(1000 + i) for i in range(args.seeds)]
-    for term in term_names + ["loss"]:
-        gfn = make_loss(term)
-        gs = np.stack([np.asarray(gfn(poses_q, k)) for k in keys])  # [S,Smax,7]
+    all_terms = term_names + ["loss"]
+    gfn = make_losses_vec(all_terms)           # ONE compile for every term
+    jac = np.stack([np.asarray(gfn(poses_q, k)) for k in keys])
+    # jac: [seeds, T, Smax, 7]
+    for ti, term in enumerate(all_terms):
+        gs = jac[:, ti]                                         # [S,Smax,7]
         mean_g = gs.mean(0)
         mean_abs = np.abs(gs).mean(0)
         sysm = np.abs(mean_g) / np.maximum(mean_abs, 1e-12)         # [Smax,7]
