@@ -41,6 +41,11 @@ def main():
     p.add_argument("--interim_every", type=int, default=100,
                    help="compute/record in-memory ATE every N frames so a "
                         "truncated run still yields a drift curve")
+    p.add_argument("--mesh_eval_frame", type=int, default=0,
+                   help="if >0, run the eval_rec mesh battery once mid-run "
+                        "at this frame (serial with the SLAM loop; ~minutes) "
+                        "so a session-boundary kill still leaves one "
+                        "at-scale mesh number in the results JSON")
     p.add_argument("--resume_root", default=None,
                    help="existing run root (contains long_seq.conf, "
                         "Synthetic/, exps/) — resume its latest checkpoint "
@@ -141,7 +146,30 @@ def main():
     # every post-mortem in BASELINE.md)
     snap_path = os.path.splitext(args.out)[0] + "_poses.npz"
 
+    def _run_eval_rec(runner, frame_idx, key):
+        """Mesh battery vs the analytic GT surface; records under `key`."""
+        est_ply = save_mesh(runner, frame_idx, resolution=args.mesh_res)
+        gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
+                               grid_boundary=(-1.0, 1.0))
+        if est_ply is None or gt_mesh is None:
+            raise RuntimeError("mesh extraction failed")
+        gv, gf, gn = gt_mesh
+        gt_ply = os.path.join(tmp, "gt_mesh.ply")
+        if not os.path.exists(gt_ply):
+            write_ply(gt_ply, gv, gf, normals=gn)
+        rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
+        results[key] = {k: float(v) for k, v in rec.items()}
+        print(f"[long_seq] {key}: {rec}", flush=True)
+
     def interim_hook(runner, frame_idx):
+        if args.mesh_eval_frame and frame_idx == args.mesh_eval_frame:
+            t_mesh = time.time()
+            try:
+                _run_eval_rec(runner, frame_idx, f"eval_rec_at_{frame_idx}")
+            except Exception as e:
+                results[f"eval_rec_at_{frame_idx}"] = {"error": str(e)}
+            results["mesh_eval_wall_s"] = round(time.time() - t_mesh, 1)
+            _dump()
         if frame_idx == 0 or frame_idx % args.interim_every:
             return
         keys = sorted(runner.est_pose_all.keys())
@@ -240,20 +268,8 @@ def main():
     _dump()
 
     # --- eval_rec: mesh vs the analytic GT surface ------------------------
-    def _eval_rec():
-        est_ply = save_mesh(r, args.frames - 1, resolution=args.mesh_res)
-        gt_mesh = extract_mesh(scene_sdf, resolution=args.mesh_res,
-                               grid_boundary=(-1.0, 1.0))
-        if est_ply is None or gt_mesh is None:
-            raise RuntimeError("mesh extraction failed")
-        gv, gf, gn = gt_mesh
-        gt_ply = os.path.join(tmp, "gt_mesh.ply")
-        write_ply(gt_ply, gv, gf, normals=gn)
-        rec = calc_3d_metric(est_ply, gt_ply, n_points=200000, do_icp=True)
-        results["eval_rec"] = {k: float(v) for k, v in rec.items()}
-        print(f"[long_seq] eval_rec: {rec}", flush=True)
-
-    _attempt("eval_rec", _eval_rec)
+    _attempt("eval_rec",
+             lambda: _run_eval_rec(r, args.frames - 1, "eval_rec"))
     _dump()
 
     # --- eval_rendering: interpolate + extrapolate -------------------------
