@@ -93,9 +93,11 @@ def main():
         _, metrics = run_probe(args, data_dir=vdir)
         results[name] = metrics
         print(f"[ablate] {name}: {metrics}", flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        # bank each variant as it lands (atomic): a session-boundary kill
+        # mid-sweep must not lose the completed variants' numbers.
+        with open(args.out + ".tmp", "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(args.out + ".tmp", args.out)
     print(f"\n[ablate] table (budget: {args.frames} frames, "
           f"{args.iters}/{args.track_iters} iters, {args.rays} rays):")
     print(f"{'variant':10s} {'ATE':>8s} {'PSNR':>7s} {'depthMAE':>9s}")
