@@ -78,9 +78,35 @@ def sphere_trace(origins: np.ndarray, dirs: np.ndarray,
     return np.minimum(t, t_max)
 
 
+CAM_CLEARANCE = 0.06  # min free-space SDF along any generated camera path
+
+
+def _clear_camera_position(pos: np.ndarray,
+                           clearance: float = CAM_CLEARANCE,
+                           iters: int = 12) -> np.ndarray:
+    """Project a camera position out to >= clearance free-space SDF.
+
+    Round-5 forensics: the raw orbit below passes THROUGH sphere 1 for
+    a in [0.45, 0.97] (frames 150-323 at 0.003 rad/frame) — one third of
+    every 500-frame benchmark was rendered from INSIDE geometry (all-zero
+    gt depth, albedo-fog rgb), which drove the at-scale map deaths and
+    ATE misses of rounds 4-5. Sliding along the SDF gradient keeps the
+    path smooth (displacement is continuous in `a` and vanishes where the
+    raw orbit is already clear)."""
+    pos = pos.astype(np.float64)
+    for _ in range(iters):
+        d = float(scene_sdf(pos))
+        if d >= clearance:
+            break
+        n = scene_normal(pos[None])[0]
+        pos = pos + (clearance - d) * n
+    return pos
+
+
 def camera_trajectory(n_frames: int,
                       rad_per_frame: float = 0.03) -> List[np.ndarray]:
-    """Smooth orbit inside the room; returns c2w (cube coords).
+    """Smooth collision-free orbit inside the room; returns c2w (cube
+    coords).
 
     The angular velocity is FIXED per frame (not per sequence) so
     frame-to-frame motion matches real SLAM data (~0.01 cube units/frame,
@@ -91,6 +117,10 @@ def camera_trajectory(n_frames: int,
         a = rad_per_frame * i
         pos = np.array([0.35 * np.sin(a), 0.12 * np.sin(2 * a) + 0.05,
                         0.35 * np.cos(a) - 0.1])
+        pos = _clear_camera_position(pos)
+        assert scene_sdf(pos) >= 0.9 * CAM_CLEARANCE, (
+            f"camera frame {i} could not be cleared from geometry "
+            f"(sdf={float(scene_sdf(pos)):.4f})")
         target = np.array([0.45 * np.sin(a + 1.1), 0.0,
                            0.45 * np.cos(a + 1.1)])
         fwd = target - pos

@@ -77,8 +77,13 @@ def loss_config_from_conf(conf: Config, full_depth_mask: bool = False) -> LossCo
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    m = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
-    return (x * m).sum() / jnp.maximum(m.sum(), 1.0)
+    # select-before-reduce (the reference's boolean indexing, loss.py:100-111,
+    # never touches masked entries): x*m would turn a masked inf/NaN — e.g.
+    # an f16-overflowed flow value at an occluded pixel — into NaN (inf*0)
+    # and poison the whole gradient.
+    m = jnp.broadcast_to(mask, x.shape)
+    mf = m.astype(x.dtype)
+    return jnp.where(m, x, 0).sum() / jnp.maximum(mf.sum(), 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -455,7 +455,15 @@ class SLAMRunner:
             flow, ok = self.dataset.flow_pair(i, j)
         except (FileNotFoundError, AttributeError):
             return None
-        entry = (flow.reshape(HW, 2).astype(np.float16), ok.reshape(HW))
+        # geometric GT flow is unbounded at unusable pixels (points near the
+        # target camera's principal plane project to |flow| >> f16 max and
+        # overflow the cast to inf); those pixels are masked, but keep the
+        # stored values finite so no inf can ever be gathered.
+        flow = flow.reshape(HW, 2)
+        ok = ok.reshape(HW)
+        flow = np.where(ok[:, None], np.clip(np.nan_to_num(flow),
+                                             -6.0e4, 6.0e4), 0.0)
+        entry = (flow.astype(np.float16), ok)
         if len(self._flow_cache) >= self._flow_cache_max:
             self._flow_cache.pop(next(iter(self._flow_cache)))
         self._flow_cache[key] = entry

@@ -254,3 +254,22 @@ def test_rotation_drift_metric():
     d3 = ate.rotation_drift(gt, est, return_curve=True)
     assert d3["curve"].shape == (N,)
     assert d3["curve"][0] < 1e-4
+
+
+def test_synthetic_trajectory_is_collision_free():
+    """Round-5 regression: the raw orbit used to pass THROUGH sphere 1 for
+    a third of every 500-frame benchmark (frames 150-323 at 0.003
+    rad/frame rendered from inside geometry — all-zero gt depth), which
+    poisoned every at-scale quality run of rounds 4-5. The trajectory must
+    keep CAM_CLEARANCE of free space at every frame, at both the slow
+    (Replica-matched) and fast probe rates, while staying smooth."""
+    from nicer_slam_tpu.datasets.synthetic import (
+        CAM_CLEARANCE, camera_trajectory, scene_sdf)
+
+    for rate, n in [(0.003, 500), (0.03, 60)]:
+        pos = np.array([p[:3, 3] for p in camera_trajectory(n, rate)])
+        sdf = scene_sdf(pos)
+        assert sdf.min() >= 0.9 * CAM_CLEARANCE, (rate, float(sdf.min()))
+        step = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+        # the projection must not break per-frame motion statistics
+        assert step.max() < 3.0 * max(step.mean(), 1e-9), (rate, step.max())

@@ -312,3 +312,28 @@ def test_cam_freespace_collapse_guard():
     outputs2 = dict(outputs, cam_sdf=jnp.asarray([0.5, 0.4, 0.3, 0.2]))
     t2 = L.compute_losses(cfg_on, outputs2, gt, batch, **kw)
     assert float(t2["cam_freespace_loss"]) == 0.0
+
+
+def test_masked_mean_ignores_nonfinite_masked_entries():
+    """A masked inf/NaN (e.g. f16-overflowed geometric flow at an occluded
+    pixel, runner._load_flow_pair) must not poison the loss or its gradient
+    — the reference's boolean indexing (loss.py:100-111) never touches
+    masked entries, so select-before-reduce is the faithful semantic."""
+    pred = jnp.zeros((2, 8, 2), jnp.float32)
+    gt = np.ones((2, 8, 2), np.float32)
+    mask = np.ones((2, 8), bool)
+    gt[0, 3] = np.inf
+    gt[1, 5] = np.nan
+    mask[0, 3] = mask[1, 5] = False
+    out = L.flow_l1(pred, jnp.asarray(gt), jnp.asarray(mask))
+    assert np.isfinite(float(out))
+    # same value as computing on the valid entries only
+    assert float(out) == pytest.approx(1.0)
+    g = jax.grad(lambda p: L.flow_l1(p, jnp.asarray(gt), jnp.asarray(mask)))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_masked_mean_all_masked_is_zero():
+    x = jnp.full((4,), jnp.inf)
+    out = L._masked_mean(x, jnp.zeros((4,), bool))
+    assert float(out) == 0.0
